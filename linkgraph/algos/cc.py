@@ -1,0 +1,167 @@
+"""Connected components: hash-min label propagation + large-star/small-star.
+
+Semantics (frozen): undirected connectivity over edges(src, dst);
+component id = min vid of the component (the canonicalization FIXTURES.md
+requires). The min-propagation update mirrors the reference's
+keep-shortest-path min-semantics UDAF
+(/root/reference/reasoner/udf/src/main/java/com/antgroup/openspg/reasoner/udf/builtin/udaf/KeepShortestPath.java:24-25).
+
+Two modes:
+  * ``hash-min`` — one superstep = take the min component id over the
+    in-neighborhood. O(diameter) supersteps; best for shallow web graphs.
+  * ``two-phase`` (large-star/small-star, Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public algorithm) —
+    O(log² n) rounds on deep/path-like graphs. Each round rewires edges
+    toward local minima; both phases are plain join+groupBy+min.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph import pregel
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    e = edges.select("src", "dst")
+    return e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    vertices: DataFrame | None = None,
+    max_iter: int = 50,
+    algorithm: str = "hash-min",
+    checkpoint_dir: str | None = None,
+    job_id: str = "cc",
+    checkpoint_every: int = 5,
+    resume: bool = True,
+) -> pregel.PregelResult:
+    """Returns state (vid, component) with component = min member vid."""
+    if algorithm == "two-phase":
+        return _star_contraction(
+            edges, vertices=vertices, max_iter=max_iter,
+            checkpoint_dir=checkpoint_dir, job_id=job_id,
+        )
+
+    und = _undirected(edges).persist()
+    if vertices is None:
+        verts = und.select(F.col("src").alias("vid")).distinct()
+    else:
+        verts = vertices.select("vid")
+    init = verts.select("vid", F.col("vid").alias("component"))
+
+    def superstep(edges_df: DataFrame, state: DataFrame, i: int) -> DataFrame:
+        msgs = (
+            edges_df.join(state, edges_df["src"] == state["vid"])
+            .groupBy(F.col("dst").alias("mvid"))
+            .agg(F.min("component").alias("mmin"))
+        )
+        return state.join(msgs, state["vid"] == msgs["mvid"], "left").select(
+            "vid",
+            F.least(
+                F.col("component"), F.coalesce(F.col("mmin"), F.col("component"))
+            ).alias("component"),
+        )
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        return pregel.changed_count(old, new, "vid", "component")
+
+    return pregel.run_pregel(
+        und,
+        init,
+        superstep,
+        delta,
+        max_iter=max_iter,
+        tol=0.0,
+        checkpoint_dir=checkpoint_dir,
+        job_id=job_id,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+    )
+
+
+def _star_contraction(
+    edges: DataFrame,
+    *,
+    vertices: DataFrame | None,
+    max_iter: int,
+    checkpoint_dir: str | None,
+    job_id: str,
+) -> pregel.PregelResult:
+    """Alternating large-star / small-star until the edge set is stable.
+
+    State here is the evolving parent-pointer edge set; converges in
+    O(log² n) rounds, robust to long path graphs where hash-min needs
+    O(diameter) rounds.
+    """
+    spark = edges.sparkSession
+    e = (
+        _undirected(edges)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    metrics: list[dict] = []
+    import time
+
+    it = 0
+    while it < max_iter:
+        t0 = time.monotonic()
+        # large-star: every neighbor larger than u links to u's min neighbor
+        nbrs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+        mins = mins.select("u", F.least("u", "m").alias("m"))
+        large = (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: neighbors ≤ u (plus u) link to the min neighbor
+        nbrs2 = large.unionAll(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).where(F.col("v") < F.col("u"))
+        mins2 = nbrs2.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            nbrs2.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = small.exceptAll(e).count() + e.exceptAll(small).count()
+        it += 1
+        metrics.append(
+            {"job_id": job_id, "superstep": it, "wall_s": round(time.monotonic() - t0, 4), "delta": float(changed)}
+        )
+        e = small
+        if changed == 0:
+            break
+
+    # e is now a forest pointing each vertex at its component min.
+    if vertices is None:
+        verts = (
+            _undirected(edges).select(F.col("src").alias("vid")).distinct()
+        )
+    else:
+        verts = vertices.select("vid")
+    comp = verts.join(e, verts["vid"] == e["u"], "left").select(
+        "vid", F.coalesce(F.col("v"), F.col("vid")).alias("component")
+    )
+    return pregel.PregelResult(
+        state=comp.localCheckpoint(eager=True),
+        iterations=it,
+        converged=it < max_iter,
+        metrics=metrics,
+    )

@@ -1,0 +1,76 @@
+"""Synchronous label propagation with deterministic min-label tie-break.
+
+Semantics (frozen; FIXTURES.md golden `labels.parquet`):
+  * undirected neighborhood, init label = vid
+  * each round every vertex adopts the most frequent label among its
+    neighbors; ties -> smallest label; isolated vertices keep theirs
+  * synchronous rounds (all updates from the previous state) so the
+    result is a pure function of (graph, rounds) — the reference's
+    deterministic-min flavor (keep_shortest_path UDAF min-semantics,
+    /root/reference/reasoner/udf/.../builtin/udaf/KeepShortestPath.java).
+
+The per-round argmax is a join + two aggregations (count per (vid,label),
+then min(struct(-count, label)) per vid) — all JVM-side, skew handled by
+Spark's partial aggregation + AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph import pregel
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    vertices: DataFrame | None = None,
+    max_iter: int = 10,
+    checkpoint_dir: str | None = None,
+    job_id: str = "lpa",
+    checkpoint_every: int = 5,
+    resume: bool = True,
+) -> pregel.PregelResult:
+    """Returns state (vid, label)."""
+    e = edges.select("src", "dst")
+    und = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+
+    if vertices is None:
+        verts = und.select(F.col("src").alias("vid")).distinct()
+    else:
+        verts = vertices.select("vid")
+    init = verts.select("vid", F.col("vid").alias("label"))
+
+    def superstep(edges_df: DataFrame, state: DataFrame, i: int) -> DataFrame:
+        counts = (
+            edges_df.join(state, edges_df["src"] == state["vid"])
+            .groupBy(F.col("dst").alias("mvid"), F.col("label").alias("nlabel"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax with min tie-break: min over struct(-cnt, label)
+        best = counts.groupBy("mvid").agg(
+            F.min(F.struct((-F.col("cnt")).alias("negcnt"), F.col("nlabel").alias("lab")))
+            .alias("b")
+        ).select("mvid", F.col("b.lab").alias("newlabel"))
+        return state.join(best, state["vid"] == best["mvid"], "left").select(
+            "vid", F.coalesce(F.col("newlabel"), F.col("label")).alias("label")
+        )
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        return pregel.changed_count(old, new, "vid", "label")
+
+    return pregel.run_pregel(
+        und,
+        init,
+        superstep,
+        delta,
+        max_iter=max_iter,
+        tol=0.0,
+        checkpoint_dir=checkpoint_dir,
+        job_id=job_id,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+    )

@@ -1,0 +1,105 @@
+"""Scalar / aggregate function registry — reference UDF-surface parity.
+
+The reference registers UDFs by name via @UdfDefine + classpath scan
+(/root/reference/reasoner/udf/src/main/java/com/antgroup/openspg/reasoner/udf/UdfMngFactory.java,
+impl/UdfMngImpl.java). Here the registry is a plain dict of
+Column-builder callables — every entry lowers to a built-in Catalyst
+expression (JVM-side, codegen'd); nothing is a Python UDF.
+
+Name -> implementation mapping follows SURVEY.md §2.8 (builtin files
+under /root/reference/reasoner/udf/src/main/java/com/antgroup/openspg/reasoner/udf/builtin/).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# scalar functions (reference builtin/udf/*.java)
+# --------------------------------------------------------------------------
+
+SCALARS: dict[str, Callable[..., Column]] = {
+    # string (Concat.java, ContainsAny.java, InStr.java, IsBlank.java, …)
+    "concat": F.concat,
+    "concat_ws": F.concat_ws,
+    "contains_any": lambda col, items: F.exists(
+        F.array(*[F.lit(i) for i in items]), lambda x: F.contains(col, x)
+    ),
+    "in_str": lambda haystack, needle: F.instr(haystack, needle),
+    "is_blank": lambda c: F.coalesce(F.trim(c) == "", F.lit(True)),
+    "is_not_blank": lambda c: ~F.coalesce(F.trim(c) == "", F.lit(True)),
+    "lower": F.lower,
+    "upper": F.upper,
+    "str_contains": lambda c, s: F.contains(c, F.lit(s)),
+    "str_length": F.length,
+    "sub_str": lambda c, pos, ln: F.substring(c, pos, ln),
+    "trim": F.trim,
+    "rlike": lambda c, pat: c.rlike(pat),
+    "regex_match": lambda c, pat, idx=0: F.regexp_extract(c, pat, idx),
+    # date/time (DateAdd.java, DateDiff.java, FromUnixTime.java, …)
+    "date_add": lambda c, n: F.date_add(c, n),
+    "date_diff": lambda a, b: F.datediff(a, b),
+    "date_format": lambda c, fmt: F.date_format(c, fmt),
+    "from_unix_time": lambda c: F.from_unixtime(c),
+    "from_unix_time_ms": lambda c: F.timestamp_millis(c.cast("long")),
+    "unix_timestamp": F.unix_timestamp,
+    "to_date": F.to_date,
+    "to_timestamp": F.to_timestamp,
+    "time_diff": lambda a, b: F.unix_timestamp(a) - F.unix_timestamp(b),
+    "day_of_week": F.dayofweek,
+    "hour_of_day": F.hour,
+    # math / misc (Abs.java, Cast.java, Hash.java, JsonStringGet.java, …)
+    "abs": F.abs,
+    "floor": F.floor,
+    "ceil": F.ceil,
+    "cast_type": lambda c, t: c.cast(t),
+    "hash": F.xxhash64,
+    "json_get": lambda c, path: F.get_json_object(c, f"$.{path}"),
+    "rule_value": lambda cond, a, b: F.when(cond, a).otherwise(b),
+    # var-len path helpers (RepeatEdgeLength.java, RepeatReduce.java,
+    # RepeatConstraint.java)
+    "repeat_edge_length": F.size,
+    "repeat_reduce": lambda arr, init, merge: F.aggregate(arr, init, merge),
+    "repeat_constraint": lambda arr, pred: F.forall(
+        F.zip_with(F.slice(arr, 1, F.size(arr) - 1), F.slice(arr, 2, F.size(arr) - 1), pred),
+        lambda ok: ok,
+    ),
+}
+
+# --------------------------------------------------------------------------
+# aggregate functions (reference builtin/udaf/*.java — all mergeable
+# partial/final UDAFs, i.e. native Spark aggregates)
+# --------------------------------------------------------------------------
+
+AGGREGATES: dict[str, Callable[..., Column]] = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "count": F.count,
+    "count_distinct": F.countDistinct,
+    "approx_count_distinct": F.approx_count_distinct,
+    "min": F.min,
+    "max": F.max,
+    "first": F.first,
+    # ConcatAgg.java — deterministic: sort before joining
+    "concat_agg": lambda c, sep=",": F.concat_ws(sep, F.sort_array(F.collect_list(c))),
+    # KeepShortestPath.java / KeepLongestPath.java — min/max by path length
+    "keep_shortest_path": lambda path: F.min_by(path, F.size(path)),
+    "keep_longest_path": lambda path: F.max_by(path, F.size(path)),
+    # StrJoin — alias of concat_agg with custom sep
+    "str_join": lambda c, sep: F.concat_ws(sep, F.sort_array(F.collect_list(c))),
+}
+
+
+def agg_if(agg: Callable[..., Column], cond: Column, col: Column) -> Column:
+    """AggIfOpExpr (conditional aggregation, Expr.scala:236)."""
+    return agg(F.when(cond, col))
+
+
+def trans_count_by_day(ts: Column, min_count: int = 1) -> tuple[Column, Column]:
+    """TransCountByDay.java:30-60 — bucket timestamps by day, count with a
+    threshold. Returns (group_expr, filter_on_count) to use in
+    groupBy(...).agg(F.count) + where."""
+    return F.date_trunc("day", ts), F.count(F.lit(1)) >= min_count

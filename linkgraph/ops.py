@@ -1,0 +1,282 @@
+"""RDG-parity operator layer: the reference's physical operator surface
+re-expressed as thin, composable DataFrame builders.
+
+Parity map (SURVEY.md §2.1; contract:
+/root/reference/reasoner/lube-physical/src/main/scala/com/antgroup/openspg/reasoner/lube/physical/rdg/RDG.scala;
+execution: /root/reference/reasoner/runner/local-runner/.../rdg/LocalRDG.java):
+
+  start/scan_vertices   Start (RDG seeds, LocalRDG.java:200-235)
+  expand / expand_into  PatternScan/ExpandInto (RDG.scala:41,50; LocalRDG.java:238-333,499-610)
+  var_len_expand        BoundedVarLenExpand (PhysicalPlanner unrolling)
+  filter_rows           Filter (RDG.scala:65)
+  add_fields/drop_fields  Project → AddInto + Drop (LocalRDG.java:924-963)
+  group_agg / two_phase_agg  Aggregate + AggregatePushDown skew form
+                        (RDG.scala:86; optimizer/rules/AggregatePushDown.scala)
+  top_k / order_limit   OrderAndLimit incl. per-group top-k (RDG.scala:76)
+  pattern_join          Join inner/left/full (RDG.scala:144, LocalRDG.java:1206-1311)
+  optional              Optional → left outer (lube-logical Optional.scala:20)
+  semi / anti           ExpandInto intersection pruning / Exists predicate
+  pattern_union         PatternUnion (unimplemented in LocalRDG:1338 — we
+                        choose unionByName + dropDuplicates)
+  fold / unfold         Fold/Unfold (RDG.scala:163,171; LocalRDG.java:1314-1360)
+  distinct_rows         DistinctGet rewrite (optimizer/rules/DistinctGet.scala)
+  cache                 Cache (RDG.scala:134)
+
+Everything here lowers to Catalyst-native plans — predicate pushdown,
+column pruning, broadcast selection and AQE skew handling come for free
+(SURVEY.md §4: no custom Catalyst rules needed).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# seeds / scans
+# --------------------------------------------------------------------------
+
+
+def start_from_ids(spark, ids: Sequence, id_col: str = "vid") -> DataFrame:
+    """Start from an explicit id list (reference startIdList seeds)."""
+    return spark.createDataFrame([(i,) for i in ids], f"{id_col} bigint")
+
+
+def scan_vertices(vertices: DataFrame, predicate: Column | str | None = None) -> DataFrame:
+    """Start: all vertices, optionally filtered (label/type pushdown)."""
+    return vertices.where(predicate) if predicate is not None else vertices
+
+
+# --------------------------------------------------------------------------
+# pattern growth
+# --------------------------------------------------------------------------
+
+
+def expand(
+    frontier: DataFrame,
+    edges: DataFrame,
+    on: str = "vid",
+    edge_src: str = "src",
+    edge_dst: str = "dst",
+    out_col: str = "vid",
+    broadcast_frontier: bool = False,
+) -> DataFrame:
+    """One hop: frontier(on=vertex id) ⋈ edges -> next frontier keyed by dst.
+
+    The reference's per-root BFS step (PatternMatcher.patternMatch) as a
+    single distributed join. Broadcast the frontier when it is small
+    (point lookups / IdEqualPushDown analog).
+    """
+    f = F.broadcast(frontier) if broadcast_frontier else frontier
+    joined = f.join(edges, f[on] == edges[edge_src])
+    keep = [c for c in frontier.columns if c != on]
+    return joined.select(*keep, F.col(edge_dst).alias(out_col))
+
+
+def expand_into(
+    frontier: DataFrame,
+    edges: DataFrame,
+    bound: DataFrame,
+    on: str = "vid",
+    edge_src: str = "src",
+    edge_dst: str = "dst",
+    out_col: str = "vid",
+) -> DataFrame:
+    """Expand, then prune against already-bound vertices (intersection
+    semantics of KgGraph.expandAndPrune — a semi-join, not a re-match)."""
+    grown = expand(frontier, edges, on, edge_src, edge_dst, out_col)
+    return grown.join(bound, grown[out_col] == bound[on], "left_semi")
+
+
+def var_len_expand(
+    frontier: DataFrame,
+    edges: DataFrame,
+    lower: int,
+    upper: int,
+    on: str = "vid",
+) -> DataFrame:
+    """repeat(lower, upper) path expansion, unrolled (the reference's
+    planBoundedVarLenExpand unrolls into upper iterations of
+    cache+expand+join). Returns (start, vid, hops) reachability rows."""
+    cur = frontier.select(F.col(on).alias("start"), F.col(on).alias("vid"))
+    out = cur.withColumn("hops", F.lit(0)) if lower == 0 else None
+    for hop in range(1, upper + 1):
+        cur = (
+            cur.join(edges, cur["vid"] == edges["src"])
+            .select("start", F.col("dst").alias("vid"))
+            .dropDuplicates(["start", "vid"])
+        )
+        if hop >= lower:
+            step = cur.withColumn("hops", F.lit(hop))
+            out = step if out is None else out.unionByName(step)
+    return out
+
+
+# --------------------------------------------------------------------------
+# row ops
+# --------------------------------------------------------------------------
+
+
+def filter_rows(df: DataFrame, predicate: Column | str) -> DataFrame:
+    return df.where(predicate)
+
+
+def add_fields(df: DataFrame, **cols: Column) -> DataFrame:
+    return df.withColumns(dict(cols))
+
+
+def drop_fields(df: DataFrame, *names: str) -> DataFrame:
+    return df.drop(*names)
+
+
+def select_cols(df: DataFrame, mapping: dict[str, Column | str]) -> DataFrame:
+    """Select: final projection to a named-column table (RDG.scala:58)."""
+    return df.select(
+        *[
+            (F.col(c) if isinstance(c, str) else c).alias(name)
+            for name, c in mapping.items()
+        ]
+    )
+
+
+def distinct_rows(df: DataFrame, *cols: str) -> DataFrame:
+    return df.select(*cols).distinct() if cols else df.distinct()
+
+
+# --------------------------------------------------------------------------
+# aggregation
+# --------------------------------------------------------------------------
+
+
+def group_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """Aggregate: partial/final two-phase is native in Spark (the
+    reference's BaseUdaf.update/merge/evaluate lifecycle)."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe aggregation: salt the hot key, partially aggregate per
+    (key, salt), then finish per key.
+
+    ``aggs`` maps output name -> (partial_fn, final_fn, input_col), e.g.
+    ``{"s": (F.sum, F.sum, "x"), "c": (F.count, F.sum, "x")}``.
+
+    This is the explicit two-phase form the north rule requires for
+    power-law in-degree (hot-vertex) message aggregation; the reference's
+    analog is AggregatePushDown (pre-aggregate per root,
+    /root/reference/reasoner/lube-logical/.../optimizer/rules/AggregatePushDown.scala)
+    plus mergeable UDAFs (BaseUdaf.merge).
+    """
+    salted = df.withColumn(
+        "__salt__", F.pmod(F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(key, "__salt__").agg(
+        *[pf(c).alias(f"__p_{name}__") for name, (pf, _, c) in aggs.items()]
+    )
+    final = partial.groupBy(key).agg(
+        *[ff(f"__p_{name}__").alias(name) for name, (_, ff, _c) in aggs.items()]
+    )
+    return final
+
+
+# --------------------------------------------------------------------------
+# order / limit / top-k
+# --------------------------------------------------------------------------
+
+
+def order_limit(df: DataFrame, order_by: Sequence[Column], k: int = 100) -> DataFrame:
+    """Global top-k (reference default limit 100, RDG.scala:76).
+
+    orderBy+limit compiles to TakeOrderedAndProject — no global sort of
+    the full table, each partition keeps k then the driver merges.
+    """
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column], k: int
+) -> DataFrame:
+    """Per-group top-k via row_number window (grouped OrderAndLimit)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
+def limit_rows(df: DataFrame, n: int) -> DataFrame:
+    return df.limit(n)
+
+
+# --------------------------------------------------------------------------
+# joins / set ops
+# --------------------------------------------------------------------------
+
+
+def pattern_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Inner/LeftOuter/FullOuter RDG join (LocalRDG supported set,
+    LocalRDG.java:1200-1203)."""
+    assert how in ("inner", "left", "full"), f"unsupported join type {how}"
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, list(on), how)
+
+
+def optional(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Optional pattern part: unmatched side becomes SQL NULLs (the
+    reference's NoneVertex/MirrorVertex sentinels are unnecessary)."""
+    return left.join(right, list(on), "left")
+
+
+def semi(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    return left.join(right, list(on), "left_semi")
+
+
+def anti(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Exists-negation (GraphItemExists UDF analog) as a real anti-join."""
+    return left.join(right, list(on), "left_anti")
+
+
+def pattern_union(*dfs: DataFrame, distinct: bool = True) -> DataFrame:
+    """PatternUnion — unimplemented in the reference (LocalRDG.java:1338
+    throws); we define it as unionByName(allowMissingColumns) + dedup."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out.dropDuplicates() if distinct else out
+
+
+# --------------------------------------------------------------------------
+# fold / unfold / cache
+# --------------------------------------------------------------------------
+
+
+def fold(df: DataFrame, keys: Sequence[str], cols: Sequence[str], out: str = "path") -> DataFrame:
+    """Fold repeated rows into a deterministic (sorted) array of structs."""
+    return df.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(F.struct(*cols))).alias(out)
+    )
+
+
+def unfold(df: DataFrame, col: str) -> DataFrame:
+    """Inverse of fold: explode + flatten + dedup (LocalRDG.java:1314-1335)."""
+    exploded = df.withColumn("__e__", F.explode(col)).drop(col)
+    inner = exploded.select("*", "__e__.*").drop("__e__")
+    return inner.dropDuplicates()
+
+
+def cache(df: DataFrame) -> DataFrame:
+    return df.persist()

@@ -1,0 +1,180 @@
+"""Deduplication operators for large-scale text corpora.
+
+All hot paths are JVM-side Catalyst expressions (xxhash64 + higher-order
+array functions) — no Python in the per-document loop, so the same code
+runs at 100 TB (the shuffles are on short hash keys, never full texts).
+
+Spiritual parity: the reference's fusing strategies dedup vertices by
+business id (/root/reference/builder/core/src/main/java/com/antgroup/openspg/builder/core/strategy/fusing/impl/OverwriteFusing.java);
+here we dedup documents by content hash / near-dup signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, canonical_id) per doc: canonical = min id sharing the same
+    md5(text). Hash-groupBy — shuffles 16-byte digests, not documents."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return docs.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canonical_id"),
+    )
+
+
+def _shingles(text_col: str, k: int = 5) -> F.Column:
+    """Character k-shingles of the lowercased, space-normalized text."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k)
+    )
+
+
+def minhash_signature(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig array<bigint>): sig[i] = min over shingles of
+    xxhash64(i, shingle). Entirely whole-stage-codegen'd."""
+    sh = _shingles(text_col, shingle_k).alias("sh")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("sh"), lambda s: F.xxhash64(i, s))
+        ),
+    ).alias("sig")
+    return docs.select(F.col(id_col), sh).select(id_col, sig)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, verified by
+    estimated Jaccard (fraction of agreeing minhashes).
+
+    shingle -> minhash -> band-hash -> bucket self-join (on the 8-byte
+    band key only) -> verify. Returns (a, b, jaccard_est) with a < b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(docs, id_col, text_col, num_hashes, shingle_k).persist()
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b, F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    left = banded.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("a"), F.col("sig").alias("sig_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("b"), F.col("sig").alias("sig_b")
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    jacc = cand.select(
+        "a",
+        "b",
+        (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.lit(float(len(range(num_hashes))))
+        ).alias("jaccard_est"),
+    )
+    return jacc.where(F.col("jaccard_est") >= jaccard_threshold)
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(id, simhash bigint): sign-aggregated token-hash bits — classic
+    Charikar simhash, expressed with higher-order functions only."""
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    counts = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda a, i: a
+            + F.when(
+                F.call_function("shiftright", F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda c, i: F.when(
+                c > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return docs.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given (a, b) pairs — the verify step
+    after LSH candidate generation."""
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) - F.lit(n - 1),
+                        F.lit(1),
+                    ),
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.split(F.trim(F.col(text_col)), r"\s+"), i, n), " "
+                ),
+            )
+        ).alias("grams"),
+    )
+    ga = grams.select(F.col("id").alias("a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("id").alias("b"), F.col("grams").alias("gb"))
+    j = pairs.join(ga, "a").join(gb, "b")
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    return j.select("a", "b", (inter / union).alias("jaccard"))

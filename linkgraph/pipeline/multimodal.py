@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark side (schema, partitioning, Arrow batch shape, UDF signatures)
+is real and tested; the codec kernels are stubbed — the container has no
+image/audio libraries, so `decode_image` tries Pillow and otherwise
+falls back to a clearly-marked deterministic fake that parses our own
+fixture header format. Real decoders drop in behind the same signature.
+
+Fixture binary format (deterministic fake "image"):
+    b"FAKEIMG" + width:uint16 + height:uint16 + channels:uint8 + payload
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FAKE_MAGIC = b"FAKEIMG"
+
+IMAGE_META_SCHEMA = (
+    "id bigint, width int, height int, channels int, n_bytes bigint, mean_value double"
+)
+
+
+def encode_fake_image(width: int, height: int, channels: int, seed: int) -> bytes:
+    """Deterministic fixture image: header + seeded byte payload."""
+    rng = np.random.default_rng(seed)
+    payload = rng.integers(0, 256, size=width * height * channels, dtype=np.uint8)
+    return FAKE_MAGIC + struct.pack("<HHB", width, height, channels) + payload.tobytes()
+
+
+def decode_image_bytes(blob: bytes) -> dict:
+    """Decode one image blob to metadata + pixel stats.
+
+    Tries a real decoder (Pillow) if importable; otherwise requires the
+    deterministic fake format. Raises NotImplementedError for real image
+    bytes when no codec library is present — by design (stub boundary).
+    """
+    if blob.startswith(FAKE_MAGIC):
+        w, h, c = struct.unpack("<HHB", blob[7:12])
+        px = np.frombuffer(blob[12 : 12 + w * h * c], dtype=np.uint8)
+        return {
+            "width": w,
+            "height": h,
+            "channels": c,
+            "n_bytes": len(blob),
+            "mean_value": float(px.mean()) if px.size else 0.0,
+        }
+    try:  # pragma: no cover - codec not installed in this container
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(blob))
+        arr = np.asarray(img)
+        return {
+            "width": img.width,
+            "height": img.height,
+            "channels": arr.shape[2] if arr.ndim == 3 else 1,
+            "n_bytes": len(blob),
+            "mean_value": float(arr.mean()),
+        }
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "real image decoding needs Pillow; only the FAKEIMG fixture "
+            "format is supported in this container"
+        ) from e
+
+
+def image_metadata(
+    df: DataFrame, id_col: str = "id", blob_col: str = "image"
+) -> DataFrame:
+    """(id, width, height, channels, n_bytes, mean_value) via mapInPandas —
+    Arrow-batched; the per-image decode is the sanctioned slow path."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [decode_image_bytes(bytes(b)) for b in pdf[blob_col]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "id", pdf[id_col].values)
+            yield out
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(blob_col).alias(blob_col)
+    ).mapInPandas(_batches, IMAGE_META_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int, blob_col: str = "image") -> DataFrame:
+    """Resize plumbing: schema/partition-preserving identity transform with
+    the real UDF signature; the kernel raises until a codec lib exists."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        raise NotImplementedError("image resize needs a codec library (Pillow)")
+        yield  # noqa: unreachable — generator shape
+
+    return df.mapInPandas(_batches, df.schema)
+
+
+def frame_sample_stub(
+    df: DataFrame, every_n: int = 30, blob_col: str = "video"
+) -> DataFrame:
+    """Video frame sampling plumbing (schema real, kernel stubbed)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        raise NotImplementedError("video decoding needs an av library")
+        yield
+
+    return df.mapInPandas(_batches, df.schema)

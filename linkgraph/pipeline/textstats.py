@@ -1,0 +1,99 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All pure Catalyst expressions (JVM-side)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "zu", "ein", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est", "pour", "avec"],
+}
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def bpe_ish_token_count(text_col: str | Column) -> Column:
+    """Sub-word-ish token count: split on whitespace AND punctuation
+    boundaries (a cheap regex proxy for BPE pre-tokenization)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    pieces = F.split(F.trim(c), r"\s+|(?=[^\w\s])|(?<=[^\w\s])")
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_tokens, avg_token_len, punct_ratio, digit_ratio,
+    stopword_ratio, quality_score)."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(en_stop, x)))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    digit_ratio = n_digit.cast("double") / F.greatest(n_chars, F.lit(1))
+    avg_tok = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))
+    # simple bounded quality heuristic: long enough, low punct/digit noise
+    quality = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
+        + (1 - F.least(digit_ratio * 4, F.lit(1.0))) * 0.3
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 4).alias("avg_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, pred_lang) — stopword-hit heuristic over the supported
+    languages; ties break alphabetically (deterministic)."""
+    toks = tokens(text_col)
+    scores = []
+    for lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max hits, min lang on ties: max over struct(hits, negated-lex…) is
+    # awkward — use array_max over (hits, reverse rank) via sort
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    s["hits"].alias("hits"),
+                    F.lit(-i).alias("rank"),  # earlier (alphabetical) wins ties
+                    s["lang"].alias("lang"),
+                )
+                for i, s in enumerate(scores)
+            ]
+        )
+    )
+    return docs.select(F.col(id_col), best["lang"].alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fp bigint) — order-independent-normalized content fingerprint:
+    xxhash64 of the whitespace-normalized lowercase text."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return docs.select(F.col(id_col), F.xxhash64(norm).alias("fp"))

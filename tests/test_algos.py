@@ -1,0 +1,95 @@
+"""Golden-assert algorithm tests vs independent pure-Python oracles
+(PageRank allclose 1e-6; CC/LPA exact after canonicalization; triangle
+counts exact — FIXTURES.md §3)."""
+
+import math
+
+import pytest
+
+from linkgraph.algos import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from linkgraph.algos.triangles import per_vertex_triangles
+from tests.oracles import (
+    components_oracle,
+    lpa_oracle,
+    pagerank_oracle,
+    triangles_oracle,
+)
+
+
+@pytest.fixture(scope="module")
+def graph(tiny_plan):
+    edges = tiny_plan.edge_vids()
+    vertices = {v for e in edges for v in e}
+    return edges, vertices
+
+
+def test_pagerank_matches_oracle(tiny_edges, graph):
+    edges, vertices = graph
+    expected, exp_iters = pagerank_oracle(edges, vertices, tol=1e-6)
+    res = pagerank(tiny_edges, tol=1e-6, max_iter=100)
+    got = {r["vid"]: r["score"] for r in res.state.collect()}
+    assert res.converged
+    assert res.iterations == exp_iters
+    assert set(got) == vertices
+    for v in vertices:
+        assert math.isclose(got[v], expected[v], abs_tol=1e-6)
+    # scores sum to ~1 (probability distribution invariant)
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-6)
+    # the planned hot vertex has the top score
+    top = max(got, key=got.get)
+    assert top == 1
+
+
+def test_pagerank_two_phase_skew_agg_same_result(tiny_edges, graph):
+    edges, vertices = graph
+    base = pagerank(tiny_edges, tol=0.0, max_iter=5)
+    salted = pagerank(tiny_edges, tol=0.0, max_iter=5, skew_salt=8)
+    b = {r["vid"]: r["score"] for r in base.state.collect()}
+    s = {r["vid"]: r["score"] for r in salted.state.collect()}
+    for v in b:
+        assert math.isclose(b[v], s[v], rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_connected_components_hash_min(tiny_edges, graph):
+    edges, vertices = graph
+    expected = components_oracle(edges, vertices)
+    res = connected_components(tiny_edges)
+    got = {r["vid"]: r["component"] for r in res.state.collect()}
+    assert res.converged
+    assert got == expected
+    # the fixture really has ≥3 components of different sizes
+    assert len(set(expected.values())) >= 3
+
+
+def test_connected_components_star_contraction(tiny_edges, graph):
+    edges, vertices = graph
+    expected = components_oracle(edges, vertices)
+    res = connected_components(tiny_edges, algorithm="two-phase")
+    got = {r["vid"]: r["component"] for r in res.state.collect()}
+    assert got == expected
+
+
+def test_label_propagation_fixed_rounds(tiny_edges, graph):
+    edges, vertices = graph
+    rounds = 4
+    expected = lpa_oracle(edges, vertices, rounds)
+    res = label_propagation(tiny_edges, max_iter=rounds)
+    got = {r["vid"]: r["label"] for r in res.state.collect()}
+    assert got == expected
+
+
+def test_triangles(tiny_edges, graph, tiny_plan):
+    edges, _vertices = graph
+    exp_total, exp_per_vertex = triangles_oracle(edges)
+    assert triangle_count(tiny_edges) == exp_total
+    assert exp_total >= 20  # embedded K6 alone contributes 20
+    got = {r["vid"]: r["triangles"] for r in per_vertex_triangles(tiny_edges).collect()}
+    # K6 members each close C(5,2)=10 triangles within the clique
+    for v in tiny_plan.k6:
+        assert got[v] >= 10
+    assert got == exp_per_vertex

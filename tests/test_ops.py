@@ -1,0 +1,116 @@
+"""Parity-layer operator tests (RDG surface, SURVEY.md §2.1 mapping)."""
+
+from pyspark.sql import functions as F
+
+from linkgraph import ops
+from linkgraph.functions import AGGREGATES, SCALARS, agg_if
+
+
+def test_expand_and_expand_into(spark, tiny_edges):
+    frontier = ops.start_from_ids(spark, [0, 1])
+    one_hop = ops.expand(frontier, tiny_edges)
+    exp = {
+        r["dst"]
+        for r in tiny_edges.where(F.col("src").isin([0, 1])).collect()
+    }
+    assert {r["vid"] for r in one_hop.collect()} == exp
+
+    bound = ops.start_from_ids(spark, sorted(exp)[:3])
+    pruned = ops.expand_into(frontier, tiny_edges, bound)
+    assert {r["vid"] for r in pruned.collect()} == set(sorted(exp)[:3])
+
+
+def test_var_len_expand_matches_bfs(spark, tiny_edges, tiny_plan):
+    frontier = ops.start_from_ids(spark, [0])
+    got = ops.var_len_expand(frontier, tiny_edges, 1, 3)
+    adj = {}
+    for s, d in tiny_plan.edge_vids():
+        adj.setdefault(s, set()).add(d)
+    level = {0}
+    expected = set()
+    for hop in range(1, 4):
+        level = {t for v in level for t in adj.get(v, ())}
+        expected |= {(0, v, hop) for v in level}
+    assert {(r["start"], r["vid"], r["hops"]) for r in got.collect()} == expected
+
+
+def test_top_k_per_group(spark):
+    rows = [("a", i) for i in range(5)] + [("b", i) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = ops.top_k(df, ["k"], [F.col("v").desc()], 2).collect()
+    assert {(r["k"], r["v"]) for r in got} == {("a", 4), ("a", 3), ("b", 2), ("b", 1)}
+
+
+def test_order_limit_global(spark):
+    df = spark.createDataFrame([(i,) for i in range(20)], "v int")
+    got = [r["v"] for r in ops.order_limit(df, [F.col("v").desc()], 3).collect()]
+    assert got == [19, 18, 17]
+
+
+def test_two_phase_agg_equals_plain(spark):
+    rows = [(i % 3, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, x double")
+    plain = {
+        (r["k"]): (r["s"], r["c"])
+        for r in df.groupBy("k").agg(F.sum("x").alias("s"), F.count("x").alias("c")).collect()
+    }
+    salted = {
+        (r["k"]): (r["s"], r["c"])
+        for r in ops.two_phase_agg(
+            df, "k", {"s": (F.sum, F.sum, "x"), "c": (F.count, F.sum, "x")}, 8
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_joins_optional_semi_anti_union(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, l string")
+    right = spark.createDataFrame([(2, "x"), (3, "y")], "id int, r string")
+    assert ops.pattern_join(left, right, ["id"]).count() == 2
+    opt = ops.optional(left, right, ["id"]).collect()
+    assert {(r["id"], r["r"]) for r in opt} == {(1, None), (2, "x"), (3, "y")}
+    assert {r["id"] for r in ops.semi(left, right, ["id"]).collect()} == {2, 3}
+    assert {r["id"] for r in ops.anti(left, right, ["id"]).collect()} == {1}
+    u = ops.pattern_union(
+        left.select("id"), right.select("id"), distinct=True
+    )
+    assert {r["id"] for r in u.collect()} == {1, 2, 3}
+
+
+def test_fold_unfold_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (1, 11, "y"), (2, 20, "z")], "k int, v int, s string"
+    )
+    folded = ops.fold(df, ["k"], ["v", "s"])
+    assert folded.count() == 2
+    back = ops.unfold(folded, "path")
+    assert {(r["k"], r["v"], r["s"]) for r in back.collect()} == {
+        (1, 10, "x"),
+        (1, 11, "y"),
+        (2, 20, "z"),
+    }
+
+
+def test_function_registry(spark):
+    df = spark.createDataFrame(
+        [("Hello World", '{"a": 5}', 3)], "s string, j string, n int"
+    )
+    row = df.select(
+        SCALARS["lower"]("s").alias("lo"),
+        SCALARS["str_length"]("s").alias("ln"),
+        SCALARS["json_get"](F.col("j"), "a").alias("jv"),
+        SCALARS["rule_value"](F.col("n") > 2, F.lit("big"), F.lit("small")).alias("rv"),
+        SCALARS["hash"]("s").alias("h"),
+    ).collect()[0]
+    assert (row["lo"], row["ln"], row["jv"], row["rv"]) == ("hello world", 11, "5", "big")
+    assert isinstance(row["h"], int)
+
+    agg_df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v int"
+    )
+    row2 = agg_df.groupBy("k").agg(
+        AGGREGATES["concat_agg"](F.col("v").cast("string")).alias("cat"),
+        agg_if(F.sum, F.col("v") > 1, F.col("v")).alias("cond_sum"),
+    ).orderBy("k").collect()
+    assert row2[0]["cat"] == "1,2" and row2[0]["cond_sum"] == 2
+    assert row2[1]["cat"] == "3" and row2[1]["cond_sum"] == 3

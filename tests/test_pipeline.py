@@ -1,0 +1,143 @@
+"""Training-data pipeline ops: dedup, similarity search, text stats,
+multimodal plumbing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline import dedup, multimodal, simsearch, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest where tall trees grow for many years"
+    )
+    near = base.replace("quick", "swift").replace("lazy", "sleepy")
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, "completely different text about spark dataframes and shuffle joins"),
+        (4, "der hund und die katze sind nicht mit der maus zu ein haus"),
+        (5, "el perro y la gata es un animal que vive en la casa con amor"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(docs):
+    got = {r["doc_id"]: r["canonical_id"] for r in dedup.exact_dedup(docs).collect()}
+    assert got[0] == 0 and got[1] == 0  # dup group collapses to min id
+    assert all(got[i] == i for i in (2, 3, 4, 5))
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup: jaccard 1.0
+    assert (0, 2) in got or (1, 2) in got  # near dup caught
+    assert all({a, b} != {3, 4} for a, b in got)
+
+
+def test_minhash_signature_deterministic(docs):
+    s1 = dedup.minhash_signature(docs).collect()
+    s2 = dedup.minhash_signature(docs).collect()
+    assert {r["doc_id"]: r["sig"] for r in s1} == {r["doc_id"]: r["sig"] for r in s2}
+
+
+def test_simhash_near_for_near_dups(docs):
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert got[0] == got[1]
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(got[0], got[2]) < hamming(got[0], got[3])
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "a bigint, b bigint")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in dedup.ngram_jaccard(docs, pairs).collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 3)] < 0.1
+
+
+def test_text_stats(docs):
+    got = {r["doc_id"]: r for r in textstats.text_stats(docs).collect()}
+    assert got[0]["n_tokens"] == 25
+    assert got[0]["stopword_ratio"] > 0.1  # 'the' x3 + 'and' + 'for'
+    assert 0.0 <= got[0]["quality_score"] <= 1.0
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[4] == "de"
+    assert got[5] == "es"
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "other")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["fp"] for r in textstats.fingerprint(df).collect()}
+    assert got[0] == got[1] != got[2]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(50):
+        if i < 5:  # cluster near base
+            v = base + 0.05 * rng.standard_normal(16)
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_brute_force_topk(vectors):
+    q = vectors.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    got = simsearch.brute_force_topk(vectors, q, k=5)
+    rows = got.orderBy(F.col("score").desc()).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert ids[0] == 0 and rows[0]["score"] == pytest.approx(1.0)
+    assert set(ids) == {0, 1, 2, 3, 4}  # the planted cluster
+
+
+def test_lsh_topk_overlaps_brute_force(vectors):
+    q = vectors.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    brute = {r["vec_id"] for r in simsearch.brute_force_topk(vectors, q, k=5).collect()}
+    approx = {r["vec_id"] for r in simsearch.lsh_topk(vectors, q, k=5, n_planes=4).collect()}
+    # same-cluster vectors land in the query's bucket with high prob
+    assert 0 in approx
+    assert len(brute & approx) >= 3
+
+
+def test_multimodal_fake_decode(spark):
+    rows = [
+        (i, multimodal.encode_fake_image(8 + i, 6, 3, seed=i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "image"]), "id bigint, image binary"
+    )
+    got = {r["id"]: r for r in multimodal.image_metadata(df).collect()}
+    assert got[2]["width"] == 10 and got[2]["height"] == 6 and got[2]["channels"] == 3
+    assert got[2]["n_bytes"] == len(rows[2][1])
+    assert 0 < got[2]["mean_value"] < 255
+
+
+def test_multimodal_stub_raises(spark):
+    df = spark.createDataFrame([(1, b"notanimage")], "id bigint, image binary")
+    with pytest.raises(Exception, match="NotImplementedError|FAKEIMG|codec|Pillow"):
+        multimodal.image_metadata(df).collect()
