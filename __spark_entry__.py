@@ -1,38 +1,587 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the linkgraph engine; ``oracle_sql()`` gives the equivalent ANSI
+SQL for DuckDB over the same parquet views. Graph algorithms run a FIXED
+number of synchronous supersteps so the DuckDB oracle (the same
+iterations unrolled as chained CTEs) matches exactly; float aggregates
+go through DECIMAL intermediates or ROUND so both engines emit identical
+doubles.
+
+The graph under test is derived deterministically from `lineitem`
+(identically in Spark and SQL):
+    src = l_orderkey % 997, dst = l_partkey % 997, src <> dst, DISTINCT
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linkgraph.algos import connected_components, label_propagation, pagerank
+from linkgraph.algos.triangles import triangle_list
+from linkgraph.ops import anti, optional, pattern_union, semi, top_k, var_len_expand
+from linkgraph.pipeline import dedup, simsearch, textstats
+from linkgraph.session import load_table
+
+_MOD = 997
+
+EDGES_SQL = (
+    f"SELECT DISTINCT l_orderkey % {_MOD} AS src, l_partkey % {_MOD} AS dst "
+    f"FROM lineitem WHERE l_orderkey % {_MOD} <> l_partkey % {_MOD}"
+)
+VERTS_SQL = "SELECT src AS vid FROM edges UNION SELECT dst FROM edges"
+UND_SQL = "SELECT src, dst FROM edges UNION SELECT dst, src FROM edges"
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % _MOD).alias("src"),
+            (F.col("l_partkey") % _MOD).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank to 1e-6 convergence on the sf0.001 link graph."""
+    edges = _edges(spark, "/root/testdata/sf0.001")
+    res = pagerank(edges, tol=1e-6, max_iter=100)
+    return res.state.select("vid", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# relational / operator-parity queries
+# ---------------------------------------------------------------------------
+
+
+def _q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") < "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("n_rows"))
+    )
+
+
+def _q2_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+        orders["o_custkey"] == cust["c_custkey"],
+    )
+    return j.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).limit(10)
+
+
+def _q3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = top_k(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        2,
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+def _q4_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    j = optional(cust, orders, ["o_custkey"])
+    return j.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("o_orderkey").alias("n_orders")
+    )
+
+
+def _q5_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return anti(cust, orders, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+def _q6_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi(cust, open_orders, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+def _q7_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return pattern_union(a, b, distinct=True)
+
+
+def _q8_fold_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _q9_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def _q10_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+    )
+
+
+def _q11_agg_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == "F",
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            )
+        )
+        .cast("double")
+        .alias("f_total"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("f_count"),
+    )
+
+
+def _q12_pattern_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = (
+        F.broadcast(nation)
+        .join(cust, nation["n_nationkey"] == cust["c_nationkey"])
+        .join(orders, cust["c_custkey"] == orders["o_custkey"])
+    )
+    return j.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def _q13_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph queries (fixed supersteps -> exact oracle match)
+# ---------------------------------------------------------------------------
+
+
+def _g_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    deg = e.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    return deg.orderBy(F.col("out_degree").desc(), F.col("vid").asc()).limit(10)
+
+
+def _g_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = pagerank(_edges(spark, sf_dir), tol=None, max_iter=5)
+    return res.state.select("vid", F.round("score", 6).alias("score"))
+
+
+def _g_cc8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = connected_components(_edges(spark, sf_dir), max_iter=8)
+    return res.state.select("vid", "component")
+
+
+def _g_cc_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = connected_components(_edges(spark, sf_dir), algorithm="two-phase")
+    return res.state.select("vid", "component")
+
+
+def _g_lpa4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = label_propagation(_edges(spark, sf_dir), max_iter=4)
+    return res.state.select("vid", "label")
+
+
+def _g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_list(_edges(spark, sf_dir)).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def _g_reach3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    seed_vid = e.agg(F.min("src")).collect()[0][0]
+    frontier = spark.createDataFrame([(int(seed_vid),)], "vid bigint")
+    out = var_len_expand(frontier, e, 1, 3)
+    return out.select("vid").distinct()
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def _d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+def _d_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.text_stats(docs).select(
+        "doc_id", "n_chars", "n_tokens", "punct_ratio"
+    )
+
+
+def _d_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+def _d_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.lang_id(docs)
+
+
+def _d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, shingle_k=7, jaccard_threshold=0.5
+    ).select("a", "b")
+
+
+def _e_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    out = simsearch.brute_force_topk(emb, q, k=10)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _e_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    out = simsearch.lsh_topk(emb, q, k=10, n_planes=6, dim=64)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_agg": _q1_agg,
+        "q2_join_topk": _q2_join_topk,
+        "q3_topk_per_group": _q3_topk_per_group,
+        "q4_optional": _q4_optional,
+        "q5_anti": _q5_anti,
+        "q6_semi": _q6_semi,
+        "q7_union": _q7_union,
+        "q8_fold_concat": _q8_fold_concat,
+        "q9_distinct": _q9_distinct,
+        "q10_events_by_day": _q10_events_by_day,
+        "q11_agg_if": _q11_agg_if,
+        "q12_pattern_2hop": _q12_pattern_2hop,
+        "q13_json": _q13_json,
+        "g_degree_topk": _g_degree_topk,
+        "g_pagerank5": _g_pagerank5,
+        "g_cc8": _g_cc8,
+        "g_cc_conv": _g_cc_conv,
+        "g_lpa4": _g_lpa4,
+        "g_triangles": _g_triangles,
+        "g_reach3": _g_reach3,
+        "d_exact_dedup": _d_exact_dedup,
+        "d_text_stats": _d_text_stats,
+        "d_word_topk": _d_word_topk,
+        "d_lang_id": _d_lang_id,
+        "d_minhash_pairs": _d_minhash_pairs,  # no oracle: xxhash64-based
+        "e_ann_topk": _e_ann_topk,
+        "e_lsh_topk": _e_lsh_topk,  # no oracle: LSH planes not SQL-expressible
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    parts = [
+        f"WITH edges AS ({EDGES_SQL}),",
+        f"verts AS ({VERTS_SQL}),",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),",
+        "deg AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),",
+        "r0 AS (SELECT vid, 1.0/(SELECT n FROM nv) AS score FROM verts)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", dang{i} AS (
+  SELECT COALESCE(SUM(r.score), 0.0) AS s
+  FROM r{i} r LEFT JOIN deg ON r.vid = deg.vid WHERE deg.vid IS NULL
+), m{i} AS (
+  SELECT e.dst AS vid, SUM(r.score / deg.d) AS ms
+  FROM edges e JOIN r{i} r ON e.src = r.vid JOIN deg ON r.vid = deg.vid
+  GROUP BY e.dst
+), r{i + 1} AS (
+  SELECT v.vid,
+         (1 - {damping})/(SELECT n FROM nv)
+         + {damping} * (SELECT s FROM dang{i})/(SELECT n FROM nv)
+         + {damping} * COALESCE(m.ms, 0.0) AS score
+  FROM verts v LEFT JOIN m{i} m ON v.vid = m.vid
+)"""
+        )
+    parts.append(f" SELECT vid, ROUND(score, 6) AS score FROM r{iters}")
+    return "\n".join(parts)
+
+
+def _cc_sql(iters: int = 8) -> str:
+    parts = [
+        f"WITH edges AS ({EDGES_SQL}),",
+        f"und AS ({UND_SQL}),",
+        f"verts AS ({VERTS_SQL}),",
+        "c0 AS (SELECT vid, vid AS component FROM verts)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", m{i} AS (
+  SELECT u.dst AS vid, MIN(c.component) AS mc
+  FROM und u JOIN c{i} c ON u.src = c.vid GROUP BY u.dst
+), c{i + 1} AS (
+  SELECT c.vid, LEAST(c.component, COALESCE(m.mc, c.component)) AS component
+  FROM c{i} c LEFT JOIN m{i} m ON c.vid = m.vid
+)"""
+        )
+    parts.append(f" SELECT vid, component FROM c{iters}")
+    return "\n".join(parts)
+
+
+def _cc_conv_sql() -> str:
+    return f"""WITH RECURSIVE edges AS ({EDGES_SQL}),
+und AS ({UND_SQL}),
+verts AS ({VERTS_SQL}),
+reach(v, r) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.v
+)
+SELECT v AS vid, MIN(r) AS component FROM reach GROUP BY v"""
+
+
+def _lpa_sql(iters: int = 4) -> str:
+    parts = [
+        f"WITH edges AS ({EDGES_SQL}),",
+        f"und AS ({UND_SQL}),",
+        f"verts AS ({VERTS_SQL}),",
+        "l0 AS (SELECT vid, vid AS label FROM verts)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", cnt{i} AS (
+  SELECT u.dst AS vid, l.label AS nlabel, COUNT(*) AS c
+  FROM und u JOIN l{i} l ON u.src = l.vid GROUP BY u.dst, l.label
+), best{i} AS (
+  SELECT vid, nlabel FROM (
+    SELECT vid, nlabel, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY c DESC, nlabel ASC) AS rn
+    FROM cnt{i}
+  ) t WHERE rn = 1
+), l{i + 1} AS (
+  SELECT l.vid, COALESCE(b.nlabel, l.label) AS label
+  FROM l{i} l LEFT JOIN best{i} b ON l.vid = b.vid
+)"""
+        )
+    parts.append(f" SELECT vid, label FROM l{iters}")
+    return "\n".join(parts)
+
+
+_TRIANGLES_SQL = f"""WITH edges AS ({EDGES_SQL}),
+su AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
+),
+deg AS (
+  SELECT vid, COUNT(*) AS d FROM (
+    SELECT u AS vid FROM su UNION ALL SELECT v FROM su
+  ) GROUP BY vid
+),
+o AS (
+  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+  FROM (
+    SELECT su.u, su.v, d1.d AS du, d2.d AS dv
+    FROM su JOIN deg d1 ON su.u = d1.vid JOIN deg d2 ON su.v = d2.vid
+  )
+)
+SELECT COUNT(*) AS n_triangles
+FROM o e1 JOIN o e2 ON e1.a = e2.a
+ AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))
+ JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b"""
+
+
+_REACH3_SQL = f"""WITH edges AS ({EDGES_SQL}),
+seed AS (SELECT MIN(src) AS v FROM edges),
+h1 AS (SELECT DISTINCT dst AS vid FROM edges WHERE src = (SELECT v FROM seed)),
+h2 AS (SELECT DISTINCT e.dst AS vid FROM h1 JOIN edges e ON e.src = h1.vid),
+h3 AS (SELECT DISTINCT e.dst AS vid FROM h2 JOIN edges e ON e.src = h2.vid)
+SELECT vid FROM h1 UNION SELECT vid FROM h2 UNION SELECT vid FROM h3"""
+
+
+_STOP = {
+    lang: words
+    for lang, words in sorted(textstats.STOPWORDS.items())
+}
+
+
+def _langid_sql() -> str:
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    hits = {
+        lang: f"len(list_filter({toks}, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in _STOP.items()
+    }
+    langs = sorted(_STOP)  # de, en, es, fr — alphabetical tie-break
+    cases = []
+    for i, lang in enumerate(langs):
+        others = [hits[o] for o in langs[i + 1 :]]
+        if others:
+            cond = " AND ".join(f"{hits[lang]} >= {o}" for o in others)
+            cases.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            cases.append(f"ELSE '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    return f"SELECT doc_id, {case_sql} AS pred_lang FROM documents"
+
+
+_ANN_SQL = """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))) AS raw
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, ROUND(raw, 6) AS score
+FROM scored ORDER BY raw DESC, vec_id ASC LIMIT 10"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_agg": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus""",
+        "q2_join_topk": """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+        "q3_topk_per_group": """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) t WHERE rn <= 2""",
+        "q4_optional": """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey""",
+        "q5_anti": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "q6_semi": """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""",
+        "q7_union": """
+SELECT o_custkey AS custkey FROM orders
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal < 0""",
+        "q8_fold_concat": """
+SELECT c_nationkey, COALESCE(string_agg(c_name, ',' ORDER BY c_name), '') AS names, COUNT(*) AS n
+FROM customer GROUP BY c_nationkey""",
+        "q9_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "q10_events_by_day": """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 5""",
+        "q11_agg_if": """
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_count
+FROM orders GROUP BY o_orderpriority""",
+        "q12_pattern_2hop": """
+SELECT n_name, COUNT(*) AS n_orders
+FROM nation JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON c_custkey = o_custkey
+GROUP BY n_name""",
+        "q13_json": """
+SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum, COUNT(*) AS n
+FROM events GROUP BY event_type""",
+        "g_degree_topk": f"""
+WITH edges AS ({EDGES_SQL})
+SELECT src AS vid, COUNT(*) AS out_degree FROM edges GROUP BY src
+ORDER BY out_degree DESC, vid ASC LIMIT 10""",
+        "g_pagerank5": _pagerank_sql(5),
+        "g_cc8": _cc_sql(8),
+        "g_cc_conv": _cc_conv_sql(),
+        "g_lpa4": _lpa_sql(4),
+        "g_triangles": _TRIANGLES_SQL,
+        "g_reach3": _REACH3_SQL,
+        "d_exact_dedup": """
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+FROM documents""",
+        "d_text_stats": r"""
+SELECT doc_id,
+  LENGTH(text) AS n_chars,
+  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+  FLOOR(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+        / GREATEST(LENGTH(text), 1) * 10000) / 10000 AS punct_ratio
+FROM documents""",
+        "d_word_topk": r"""
+SELECT word, COUNT(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word FROM documents
+) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""",
+        "d_lang_id": _langid_sql(),
+        "e_ann_topk": _ANN_SQL,
+    }

@@ -1,0 +1,152 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pagerank_edges_per_sec_per_iter": ...}
+
+The PageRank number is the BASELINE.md north-star metric: edges/sec per
+iteration (median superstep, first iteration excluded as warmup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import time
+
+from pyspark.sql import functions as F
+
+from linkgraph.algos import connected_components, label_propagation, pagerank
+from linkgraph.algos.triangles import triangle_list
+from linkgraph.pipeline import dedup, simsearch
+from linkgraph.session import get_spark, load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# wider vertex space than the sf0.01 oracle graph so the sf0.1 graph
+# stays sparse (power-law-ish degree, ~600k edges over ~10k vertices)
+MOD = 9973
+
+
+def bench_edges(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % MOD).alias("src"),
+            (F.col("l_partkey") % MOD).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def main() -> None:
+    spark = get_spark(
+        "linkgraph-bench",
+        cores=CPUS,
+        shuffle_partitions=int(CPUS) if str(CPUS).isdigit() else None,
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    )
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.monotonic()
+            out = fn()
+            timings[name] = round(time.monotonic() - t0, 3)
+            return out
+
+        return deco
+
+    edges = bench_edges(spark).persist()
+    n_edges = edges.count()
+
+    @timed("tpch_q1")
+    def _q1():
+        li = load_table(spark, SF_DIR, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "revenue"
+                ),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+
+    @timed("topk_per_group")
+    def _topk():
+        from linkgraph.ops import top_k
+
+        orders = load_table(spark, SF_DIR, "orders")
+        return top_k(
+            orders, ["o_custkey"], [F.col("o_totalprice").desc()], 3
+        ).count()
+
+    @timed("pagerank_5iter")
+    def _pr():
+        res = pagerank(edges, tol=None, max_iter=5)
+        res.state.count()
+        iter_times = [m["wall_s"] for m in res.metrics[1:]]  # skip warmup
+        med = statistics.median(iter_times) if iter_times else float("nan")
+        extras["pagerank_edges_per_sec_per_iter"] = round(n_edges / med, 1)
+        extras["pagerank_median_iter_s"] = round(med, 4)
+        return res
+
+    @timed("connected_components")
+    def _cc():
+        res = connected_components(edges, max_iter=30)
+        res.state.count()
+        return res
+
+    @timed("lpa_4iter")
+    def _lpa():
+        res = label_propagation(edges, max_iter=4)
+        res.state.count()
+        return res
+
+    @timed("triangles")
+    def _tri():
+        return triangle_list(edges).count()
+
+    @timed("minhash_dedup")
+    def _mh():
+        docs = load_table(spark, SF_DIR, "documents")
+        return dedup.minhash_lsh_pairs(
+            docs, num_hashes=32, bands=8, shingle_k=7, jaccard_threshold=0.5
+        ).count()
+
+    @timed("ann_topk")
+    def _ann():
+        emb = load_table(spark, SF_DIR, "embeddings")
+        q = emb.limit(8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        return simsearch.brute_force_topk(emb, q, k=10).count()
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "linkgraph headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_edges": n_edges,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

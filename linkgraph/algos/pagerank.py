@@ -6,22 +6,31 @@ __spark_entry__.py reproduce exactly this):
   * init score = 1/N for the N vertices of the graph
   * dangling (out-degree 0) mass redistributed uniformly each step:
       score'(v) = (1-d)/N + d * (Σ_{u→v} score(u)/outdeg(u) + dangling/N)
-  * stop when L∞(score' - score) <= tol
+  * stop when L∞(score' - score) <= tol (or after max_iter fixed steps)
 
 The reference has no PageRank (SURVEY.md key negative finding) — this is
 built on its iterative expand/aggregate machinery re-expressed in Spark:
 message pass = edges⋈state join + groupBy(dst) (LocalRDG.expandInto +
 groupBy, /root/reference/reasoner/runner/local-runner/.../rdg/LocalRDG.java:499-610,771-860).
 
-Scale notes:
-  * edges are joined on src against a state frame of V rows — edges stay
-    partitioned by src (normalize.build_edges) so only messages shuffle.
-  * vertex ids never re-join the url table inside the loop (the
-    NodeIdToEdgeProperty trick, optimizer/rules/NodeIdToEdgeProperty.scala:34).
-  * hot in-degree vertices: message aggregation optionally goes through
-    ops.two_phase_agg (salted partial sums) — ``skew_salt > 1``.
-  * 2 actions per superstep (dangling sum + convergence delta), both
-    O(V) scans of cached state, never O(E).
+Physical plan (tuned via .explain — see docs/PLANS.md):
+  * edges are cached hash-partitioned by ``dst``. When the rank state is
+    broadcastable, each superstep is then a single shuffle-free stage:
+    BroadcastHashJoin (probe the V-row state) feeding partial+final
+    HashAggregate on dst — ZERO exchange of the E-row side, per
+    iteration, ever.
+  * when V is too large to broadcast (the 10^12-doc regime),
+    ``broadcast_state=False`` switches to the exchange plan: edges stay
+    cached partitioned on ``src`` (join key), only the V-row state and
+    the partially-aggregated messages shuffle. Map-side combine + AQE
+    skew-join handle power-law in-degree; ``skew_salt > 1`` additionally
+    two-phase-aggregates the hot destinations explicitly.
+  * out-degree is folded INTO the state frame (vid, score, out_degree) —
+    no per-iteration join against a separate degree table, and the
+    vertex/url table is never touched inside the loop (the reference's
+    NodeIdToEdgeProperty rewrite, optimizer/rules/NodeIdToEdgeProperty.scala:34).
+  * 1 action per superstep in fixed-iteration mode (dangling-mass agg
+    over V rows); +1 (convergence delta) in tol mode.
 """
 
 from __future__ import annotations
@@ -32,15 +41,21 @@ from pyspark.sql import functions as F
 from linkgraph import pregel
 from linkgraph.ops import two_phase_agg
 
+# Above this vertex count the rank state is no longer broadcast
+# (driver/executor memory bound) and the kernel uses the exchange plan.
+BROADCAST_STATE_MAX_VERTICES = 20_000_000
+
 
 def pagerank(
     edges: DataFrame,
     *,
     damping: float = 0.85,
-    tol: float = 1e-6,
+    tol: float | None = 1e-6,
     max_iter: int = 100,
     vertices: DataFrame | None = None,
     skew_salt: int = 1,
+    broadcast_state: bool | None = None,
+    num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     job_id: str = "pagerank",
     checkpoint_every: int = 5,
@@ -50,15 +65,17 @@ def pagerank(
 
     ``tol=0`` + ``max_iter=k`` gives exactly-k synchronous iterations
     (what the fixed-iteration oracle checks); ``tol=1e-6`` is the
-    convergence mode of BASELINE.md.
+    convergence mode of BASELINE.md; ``tol=None`` skips the convergence
+    action (fixed-iteration benchmark mode).
     """
     spark = edges.sparkSession
-    e = edges.select("src", "dst")
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
 
     if vertices is None:
         verts = (
-            e.select(F.col("src").alias("vid"))
-            .unionAll(e.select(F.col("dst").alias("vid")))
+            edges.select(F.col("src").alias("vid"))
+            .unionAll(edges.select(F.col("dst").alias("vid")))
             .distinct()
         )
     else:
@@ -72,66 +89,81 @@ def pagerank(
             converged=True,
         )
 
+    if broadcast_state is None:
+        broadcast_state = n <= BROADCAST_STATE_MAX_VERTICES
+
+    # cache the E-row side partitioned for its hot path:
+    #   broadcast plan  -> partition by dst: message agg needs no exchange
+    #   exchange plan   -> partition by src: the state join reuses it
+    part_key = "dst" if broadcast_state else "src"
+    e = edges.select("src", "dst").repartition(num_partitions, part_key).persist()
+
     deg = e.groupBy(F.col("src").alias("vid")).agg(
         F.count(F.lit(1)).cast("double").alias("out_degree")
     )
-    # (vid, out_degree) for every vertex; 0 marks dangling. Cached once,
-    # joined into state each superstep (broadcast when V is small).
-    degrees = (
+    # state carries out_degree so the loop never re-joins a degree table
+    init = (
         verts.join(deg, "vid", "left")
-        .select("vid", F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"))
-        .persist()
+        .select(
+            "vid",
+            F.lit(1.0 / n).alias("score"),
+            F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
+        )
+        # pin hash(vid, P) so every superstep's state-update merge join is
+        # co-partitioned with the hash(dst, P) message sums — no exchange
+        .repartition(num_partitions, "vid")
     )
-    degrees.count()
-
-    init = verts.select("vid", F.lit(1.0 / n).alias("score"))
 
     def superstep(edges_df: DataFrame, state: DataFrame, i: int) -> DataFrame:
-        ranked = state.join(degrees, "vid")
         dangling = (
-            ranked.where(F.col("out_degree") == 0.0)
+            state.where(F.col("out_degree") == 0.0)
             .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("s"))
             .collect()[0]["s"]
         )
-        contribs = edges_df.join(
-            ranked.where(F.col("out_degree") > 0.0),
-            edges_df["src"] == ranked["vid"],
-        ).select(
-            F.col("dst"),
-            (F.col("score") / F.col("out_degree")).alias("contrib"),
+        active = state.where(F.col("out_degree") > 0.0).select(
+            "vid", (F.col("score") / F.col("out_degree")).alias("contrib")
+        )
+        if broadcast_state:
+            active = F.broadcast(active)
+        joined = edges_df.join(active, edges_df["src"] == active["vid"]).select(
+            "dst", "contrib"
         )
         if skew_salt > 1:
             sums = two_phase_agg(
-                contribs,
-                "dst",
-                {"msum": (F.sum, F.sum, "contrib")},
-                salt_buckets=skew_salt,
+                joined, "dst", {"msum": (F.sum, F.sum, "contrib")}, salt_buckets=skew_salt
             )
         else:
-            sums = contribs.groupBy("dst").agg(F.sum("contrib").alias("msum"))
+            sums = joined.groupBy("dst").agg(F.sum("contrib").alias("msum"))
         base = (1.0 - damping) / n
         dang = damping * dangling / n
-        return verts.join(sums, verts["vid"] == sums["dst"], "left").select(
-            "vid",
-            (
-                F.lit(base)
-                + F.lit(dang)
-                + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
-            ).alias("score"),
-        )
+        newscore = (
+            F.lit(base)
+            + F.lit(dang)
+            + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
+        ).alias("score")
+        # state update: merge-join state (hash(vid, P)) with sums — in the
+        # broadcast plan sums inherit the edge cache's hash(dst, P)
+        # partitioning from the exchange-free aggregate, so this join
+        # needs no exchange either; the merge hint stops AQE from
+        # building another serial driver-side broadcast per superstep.
+        return state.hint("merge").join(
+            sums, state["vid"] == sums["dst"], "left"
+        ).select("vid", newscore, "out_degree")
 
     def delta(old: DataFrame, new: DataFrame) -> float:
         return pregel.linf_delta(old, new, "vid", "score")
 
-    return pregel.run_pregel(
+    res = pregel.run_pregel(
         e,
         init,
         superstep,
-        delta,
+        delta if tol is not None else None,
         max_iter=max_iter,
-        tol=tol,
+        tol=tol if tol is not None else 0.0,
         checkpoint_dir=checkpoint_dir,
         job_id=job_id,
         checkpoint_every=checkpoint_every,
         resume=resume,
     )
+    res.state = res.state.select("vid", "score")
+    return res

@@ -225,16 +225,25 @@ def bench_edges_pandas(
     n_vertices: int,
     n_edges: int,
     seed: int = 42,
-    hot_in_fraction: float = 0.2,
+    hot_in_fraction: float = 0.1,
     zipf_a: float = 1.5,
+    dedup: bool = False,
 ) -> pd.DataFrame:
     """Power-law (src, dst) edge table: Zipf-ranked sources, one hot
-    destination receiving ``hot_in_fraction`` of edges. Deterministic."""
+    destination receiving ``hot_in_fraction`` of edges. Deterministic.
+
+    With ``dedup=False`` (default) returns exactly ``n_edges`` rows (a
+    multigraph — fine for throughput benching and still deterministic);
+    ``dedup=True`` gives a simple graph with fewer rows."""
     rng = np.random.default_rng(seed)
-    src = rng.zipf(zipf_a, size=n_edges) % n_vertices
-    dst = rng.integers(0, n_vertices, size=n_edges)
-    hot_mask = rng.random(n_edges) < hot_in_fraction
+    src = rng.zipf(zipf_a, size=int(n_edges * 1.05) + 16) % n_vertices
+    dst = rng.integers(0, n_vertices, size=src.size)
+    hot_mask = rng.random(src.size) < hot_in_fraction
     dst = np.where(hot_mask, 1, dst)
     keep = src != dst
-    df = pd.DataFrame({"src": src[keep].astype("int64"), "dst": dst[keep].astype("int64")})
-    return df.drop_duplicates(ignore_index=True)
+    df = pd.DataFrame(
+        {"src": src[keep].astype("int64"), "dst": dst[keep].astype("int64")}
+    )
+    if dedup:
+        return df.drop_duplicates(ignore_index=True)
+    return df.iloc[:n_edges].reset_index(drop=True)

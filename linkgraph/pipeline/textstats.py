@@ -50,15 +50,18 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         + (1 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
         + (1 - F.least(digit_ratio * 4, F.lit(1.0))) * 0.3
     )
+    # floor-based 4-decimal truncation: unlike round(), identical across
+    # engines at exact .xxxx5 ties (ratios of small ints hit those)
+    r4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
     return docs.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(avg_tok, 4).alias("avg_token_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(digit_ratio, 4).alias("digit_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(quality, 4).alias("quality_score"),
+        r4(avg_tok).alias("avg_token_len"),
+        r4(punct_ratio).alias("punct_ratio"),
+        r4(digit_ratio).alias("digit_ratio"),
+        r4(stop_ratio).alias("stopword_ratio"),
+        r4(quality).alias("quality_score"),
     )
 
 

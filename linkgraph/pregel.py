@@ -128,7 +128,7 @@ def run_pregel(
     edges: DataFrame,
     init_state: DataFrame,
     superstep_fn: SuperstepFn,
-    delta_fn: DeltaFn,
+    delta_fn: DeltaFn | None,
     *,
     max_iter: int = 100,
     tol: float = 0.0,
@@ -141,7 +141,9 @@ def run_pregel(
 
     ``superstep_fn(edges, state, i) -> new_state`` must be a pure
     DataFrame transform (join + agg + update). ``delta_fn(old, new)``
-    is the one action per superstep that decides convergence.
+    is the one action per superstep that decides convergence; pass
+    ``None`` for fixed-iteration runs to skip that action entirely
+    (one less job per superstep — the benchmark mode).
     """
     spark = edges.sparkSession
     store = CheckpointStore(checkpoint_dir, job_id) if checkpoint_dir else None
@@ -162,7 +164,7 @@ def run_pregel(
         t0 = time.monotonic()
         new_state = superstep_fn(edges, state, i)
         new_state = new_state.localCheckpoint(eager=True)
-        delta = delta_fn(state, new_state)
+        delta = delta_fn(state, new_state) if delta_fn is not None else None
         wall = time.monotonic() - t0
         i += 1
         metrics.append(
@@ -177,7 +179,7 @@ def run_pregel(
         state = new_state
         if store and (i % checkpoint_every == 0):
             store.save(i, state, metrics)
-        if delta <= tol:
+        if delta is not None and delta <= tol:
             converged = True
             break
 
