@@ -201,6 +201,76 @@ def _q13_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q14_slice_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order_edge_and_slice_sum parity (OrderEdgeAndSliceAgg.java:29-76):
+    per customer, sum of the 2 largest order totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    top2 = top_k(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        2,
+    )
+    return top2.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("top2_total")
+    )
+
+
+def _q15_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface parity (§2.8) through the registry."""
+    from linkgraph.functions import SCALARS
+
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        SCALARS["lower"]("p_name").alias("lo"),
+        SCALARS["upper"]("p_brand").alias("up"),
+        SCALARS["str_length"]("p_name").alias("ln"),
+        SCALARS["sub_str"](F.col("p_type"), 1, 5).alias("pfx"),
+        SCALARS["concat_ws"]("|", "p_brand", "p_type").alias("cat"),
+        SCALARS["trim"](F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("tr"),
+        SCALARS["abs"](F.col("p_size") - 25).alias("ab"),
+        SCALARS["str_contains"](F.col("p_type"), "BRASS").alias("has_brass"),
+    )
+
+
+def _q16_varlen_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinBench trc1-style monotone-timestamp 2-hop path count
+    (repeat + edges().constraint(ts1 < ts2),
+    /root/reference/reasoner/runner/local-runner/src/test/java/.../finbench/FinBenchTest.java:84-150)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 211).alias("src"),
+            (F.col("l_partkey") % 211).alias("dst"),
+            F.col("l_shipdate").alias("ts"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("ts").alias("ts"))
+    )
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ts").alias("t1"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"), F.col("ts").alias("t2"))
+    paths = e1.join(e2, "b").where(F.col("t1") < F.col("t2"))
+    return paths.groupBy("a").agg(F.count(F.lit(1)).alias("n_paths"))
+
+
+def _q17_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user max gap between consecutive events (lag window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap"),
+    )
+    return gaps.groupBy("user_id").agg(F.max("gap").alias("max_gap_s"))
+
+
 # ---------------------------------------------------------------------------
 # graph queries (fixed supersteps -> exact oracle match)
 # ---------------------------------------------------------------------------
@@ -299,6 +369,23 @@ def _e_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def _d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+def _e_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force, a < b)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = simsearch.cosine(F.col("ea"), F.col("eb"))
+    return pairs.select("a", "b", F.round(cos, 6).alias("score")).where(
+        F.col("score") >= 0.45
+    )
+
+
 def _e_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(
@@ -323,6 +410,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_agg_if": _q11_agg_if,
         "q12_pattern_2hop": _q12_pattern_2hop,
         "q13_json": _q13_json,
+        "q14_slice_sum": _q14_slice_sum,
+        "q15_scalar_funcs": _q15_scalar_funcs,
+        "q16_varlen_monotone": _q16_varlen_monotone,
+        "q17_event_gaps": _q17_event_gaps,
         "g_degree_topk": _g_degree_topk,
         "g_pagerank5": _g_pagerank5,
         "g_cc8": _g_cc8,
@@ -335,7 +426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_word_topk": _d_word_topk,
         "d_lang_id": _d_lang_id,
         "d_minhash_pairs": _d_minhash_pairs,  # no oracle: xxhash64-based
+        "d_simhash": _d_simhash,  # no oracle: xxhash64-based
         "e_ann_topk": _e_ann_topk,
+        "e_cosine_pairs": _e_cosine_pairs,
         "e_lsh_topk": _e_lsh_topk,  # no oracle: LSH planes not SQL-expressible
     }
 
@@ -558,6 +651,51 @@ GROUP BY n_name""",
         "q13_json": """
 SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum, COUNT(*) AS n
 FROM events GROUP BY event_type""",
+        "q14_slice_sum": """
+SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS top2_total
+FROM (
+  SELECT o_custkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) t WHERE rn <= 2 GROUP BY o_custkey""",
+        "q15_scalar_funcs": """
+SELECT p_partkey,
+  lower(p_name) AS lo,
+  upper(p_brand) AS up,
+  length(p_name) AS ln,
+  substring(p_type, 1, 5) AS pfx,
+  concat_ws('|', p_brand, p_type) AS cat,
+  trim('  ' || p_brand || ' ') AS tr,
+  abs(p_size - 25) AS ab,
+  contains(p_type, 'BRASS') AS has_brass
+FROM part""",
+        "q16_varlen_monotone": """
+WITH e AS (
+  SELECT l_orderkey % 211 AS src, l_partkey % 211 AS dst, MIN(l_shipdate) AS ts
+  FROM lineitem WHERE l_orderkey % 211 <> l_partkey % 211
+  GROUP BY 1, 2
+)
+SELECT e1.src AS a, COUNT(*) AS n_paths
+FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.ts < e2.ts
+GROUP BY e1.src""",
+        "q17_event_gaps": """
+SELECT user_id, MAX(gap) AS max_gap_s FROM (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))) AS BIGINT) AS gap
+  FROM events
+) t GROUP BY user_id""",
+        "e_cosine_pairs": """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm), 6) AS score
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (a.nrm * b.nrm), 6) >= 0.45""",
         "g_degree_topk": f"""
 WITH edges AS ({EDGES_SQL})
 SELECT src AS vid, COUNT(*) AS out_degree FROM edges GROUP BY src

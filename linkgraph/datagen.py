@@ -209,6 +209,25 @@ def pages_pandas(n: int = 5000, seed: int = 42) -> tuple[pd.DataFrame, GraphPlan
     return df, plan
 
 
+def write_pages_parquet(path: str, n: int = 5000, seed: int = 42) -> GraphPlan:
+    """Write the pages table as Spark-readable parquet (microsecond
+    timestamps — Spark rejects pandas' default nanosecond TIMESTAMP)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf, plan = pages_pandas(n, seed)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf),
+        os.path.join(path, "pages.parquet"),
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    return plan
+
+
 def pages_spark(spark, n: int = 5000, seed: int = 42):
     """pages as a Spark DataFrame with the FIXTURES.md §1 schema."""
     pdf, plan = pages_pandas(n, seed)

@@ -1,0 +1,96 @@
+"""Structured Streaming operators.
+
+The reference has NO streaming engine (SURVEY.md §2.11: its builder is a
+micro-batch pull loop, LocalBuilderRunner.java:101-116, and the only
+"window" is an expression-level time range). These operators are the
+Spark-first upgrade of that loop: incremental page/event ingestion with
+watermarked event-time windows, exactly the shape a continuously-crawled
+pages table needs.
+
+All operators return unstarted streaming DataFrames; `run_available_now`
+drains whatever input exists (micro-batch, availableNow trigger) into a
+named in-memory table — the deterministic test/bench harness. Swapping
+the sink for parquet/Kafka is a `writeStream` option change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental file-source stream (schema required — no inference)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 day",
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time counts (late data dropped
+    past the watermark)."""
+    w = (
+        F.window(ts_col, window, slide)
+        if slide
+        else F.window(ts_col, window)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n",
+        )
+    )
+
+
+def sessionized_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+    keys: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Session windows: events within `gap` of each other merge."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            *keys,
+            "n",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain all currently-available input through the streaming query
+    into an in-memory table `name`; returns after completion."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

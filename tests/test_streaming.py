@@ -1,0 +1,61 @@
+"""Streaming == batch equivalence on a static input (availableNow drain)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph import streaming
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_path(tmp_path_factory):
+    # the file stream source requires a directory of files
+    d = tmp_path_factory.mktemp("events_stream")
+    import shutil
+
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_windowed_counts_match_batch(spark, events_path):
+    stream = streaming.read_stream(spark, events_path, EVENTS_SCHEMA)
+    assert stream.isStreaming
+    agg = streaming.windowed_counts(
+        stream, window="6 hours", keys=("event_type",), watermark="10 days"
+    )
+    streaming.run_available_now(agg, "win_counts", output_mode="complete")
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = spark.read.parquet(events_path)
+    expected = {
+        (str(r["ws"]), r["event_type"]): r["n"]
+        for r in batch.groupBy(
+            F.window("ts", "6 hours").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_sessionized_counts_run(spark, events_path):
+    stream = streaming.read_stream(spark, events_path, EVENTS_SCHEMA)
+    sess = streaming.sessionized_counts(
+        stream, gap="2 hours", watermark="10 days", keys=("user_id",)
+    )
+    streaming.run_available_now(sess, "sess_counts", output_mode="complete")
+    rows = spark.sql("SELECT * FROM sess_counts").collect()
+    assert len(rows) > 0
+    # sessions are disjoint per user and each covers >= 1 event
+    assert all(r["n"] >= 1 for r in rows)
+    total = sum(r["n"] for r in rows)
+    assert total == spark.read.parquet(events_path).count()
