@@ -395,6 +395,15 @@ def _e_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def _e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    out = simsearch.ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_agg": _q1_agg,
@@ -430,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_ann_topk": _e_ann_topk,
         "e_cosine_pairs": _e_cosine_pairs,
         "e_lsh_topk": _e_lsh_topk,  # no oracle: LSH planes not SQL-expressible
+        "e_ivf_topk": _e_ivf_topk,  # no oracle: IVF list assignment not SQL-expressible
     }
 
 

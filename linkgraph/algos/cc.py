@@ -30,38 +30,64 @@ def _undirected(edges: DataFrame) -> DataFrame:
     )
 
 
+BROADCAST_STATE_MAX_VERTICES = 20_000_000
+
+
 def connected_components(
     edges: DataFrame,
     *,
     vertices: DataFrame | None = None,
     max_iter: int = 50,
     algorithm: str = "hash-min",
+    broadcast_state: bool | None = None,
+    num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     job_id: str = "cc",
     checkpoint_every: int = 5,
     resume: bool = True,
 ) -> pregel.PregelResult:
-    """Returns state (vid, component) with component = min member vid."""
+    """Returns state (vid, component) with component = min member vid.
+
+    Same physical strategy as pagerank (see docs/PLANS.md): the
+    undirected edge frame is cached hash-partitioned by ``dst``; with a
+    broadcastable state each superstep is BroadcastHashJoin -> exchange-
+    free min-aggregate -> co-partitioned merge-join update. Exchange
+    plan for huge V via ``broadcast_state=False``.
+    """
     if algorithm == "two-phase":
         return _star_contraction(
             edges, vertices=vertices, max_iter=max_iter,
             checkpoint_dir=checkpoint_dir, job_id=job_id,
         )
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
 
-    und = _undirected(edges).persist()
     if vertices is None:
-        verts = und.select(F.col("src").alias("vid")).distinct()
+        verts = _undirected(edges).select(F.col("src").alias("vid")).distinct()
     else:
         verts = vertices.select("vid")
-    init = verts.select("vid", F.col("vid").alias("component"))
+    verts = verts.persist()
+    n = verts.count()
+    if broadcast_state is None:
+        broadcast_state = n <= BROADCAST_STATE_MAX_VERTICES
+
+    part_key = "dst" if broadcast_state else "src"
+    und = _undirected(edges).repartition(num_partitions, part_key).persist()
+    init = verts.select("vid", F.col("vid").alias("component")).repartition(
+        num_partitions, "vid"
+    )
 
     def superstep(edges_df: DataFrame, state: DataFrame, i: int) -> DataFrame:
+        s = F.broadcast(state) if broadcast_state else state
         msgs = (
-            edges_df.join(state, edges_df["src"] == state["vid"])
+            edges_df.join(s, edges_df["src"] == s["vid"])
             .groupBy(F.col("dst").alias("mvid"))
             .agg(F.min("component").alias("mmin"))
         )
-        return state.join(msgs, state["vid"] == msgs["mvid"], "left").select(
+        return state.hint("merge").join(
+            msgs, state["vid"] == msgs["mvid"], "left"
+        ).select(
             "vid",
             F.least(
                 F.col("component"), F.coalesce(F.col("mmin"), F.col("component"))

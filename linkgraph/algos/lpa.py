@@ -32,21 +32,37 @@ def label_propagation(
     checkpoint_every: int = 5,
     resume: bool = True,
 ) -> pregel.PregelResult:
-    """Returns state (vid, label)."""
+    """Returns state (vid, label).
+
+    The edge frame is cached hash-partitioned by ``dst`` and the state
+    broadcast into the label-count join (when small enough), so the
+    per-round (dst, label) count aggregates in place; only the counts
+    (bounded by distinct neighbor labels, map-side combined) exchange
+    for the per-vertex argmax — the honest plan at any scale, since the
+    argmax re-keys from (dst, label) to dst regardless.
+    """
+    spark = edges.sparkSession
+    num_partitions = spark.sparkContext.defaultParallelism
     e = edges.select("src", "dst")
-    und = e.unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    und = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition(num_partitions, "dst")
+        .persist()
+    )
 
     if vertices is None:
         verts = und.select(F.col("src").alias("vid")).distinct()
     else:
         verts = vertices.select("vid")
+    verts = verts.persist()
+    broadcast_state = verts.count() <= 20_000_000
     init = verts.select("vid", F.col("vid").alias("label"))
 
     def superstep(edges_df: DataFrame, state: DataFrame, i: int) -> DataFrame:
+        s = F.broadcast(state) if broadcast_state else state
         counts = (
-            edges_df.join(state, edges_df["src"] == state["vid"])
+            edges_df.join(s, edges_df["src"] == s["vid"])
             .groupBy(F.col("dst").alias("mvid"), F.col("label").alias("nlabel"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

@@ -84,6 +84,74 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted
+    lists by nearest centroid; each query scans only its ``n_probe``
+    nearest lists (~n_probe/n_centroids of the corpus).
+
+    Centroids are deterministic: the ``n_centroids`` corpus vectors with
+    the smallest ids (no iterative training — swap in k-means centroids
+    for better recall; the scan/partition plumbing is identical). The
+    centroid table is tiny and broadcast; the corpus gets its list id in
+    one pass and can be cached/written partitioned by ``list_id`` so
+    repeated queries only touch matching partitions.
+    """
+    from pyspark.sql import Window
+
+    cents = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+        )
+    )
+
+    def assign(df: DataFrame, key: str, vcol: str, probes: int) -> DataFrame:
+        scored = df.crossJoin(cents).withColumn(
+            "__sim__", cosine(F.col(vcol), F.col("cvec"))
+        )
+        w = Window.partitionBy(key).orderBy(
+            F.col("__sim__").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") <= probes)
+            .select(df["*"], F.col("cent_id").alias("list_id"))
+        )
+
+    lists = assign(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("cv")), id_col, "cv", 1
+    )
+    qlists = assign(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("qv")),
+        query_id_col,
+        "qv",
+        n_probe,
+    )
+    scored = lists.join(F.broadcast(qlists), "list_id").select(
+        query_id_col,
+        F.col(id_col).alias("vec_id"),
+        cosine(F.col("cv"), F.col("qv")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -124,6 +124,19 @@ def test_lsh_topk_overlaps_brute_force(vectors):
     assert len(brute & approx) >= 3
 
 
+def test_ivf_topk_overlaps_brute_force(vectors):
+    q = vectors.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    brute = {r["vec_id"] for r in simsearch.brute_force_topk(vectors, q, k=5).collect()}
+    ivf = {
+        r["vec_id"]
+        for r in simsearch.ivf_topk(vectors, q, k=5, n_centroids=8, n_probe=3).collect()
+    }
+    assert 0 in ivf
+    assert len(brute & ivf) >= 3
+
+
 def test_multimodal_fake_decode(spark):
     rows = [
         (i, multimodal.encode_fake_image(8 + i, 6, 3, seed=i)) for i in range(4)
