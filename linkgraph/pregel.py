@@ -84,6 +84,28 @@ class CheckpointStore:
                 {"superstep": superstep, "history": metrics, "partitions": per_part},
                 f,
             )
+        # queryable metrics/lineage rows (IExecutionRecorder analog):
+        # one row per completed superstep + one per state partition
+        spark = state.sparkSession
+        if metrics:
+            spark.createDataFrame(
+                [
+                    (
+                        m.get("job_id", ""),
+                        int(m["superstep"]),
+                        int(m.get("parent_superstep", m["superstep"] - 1)),
+                        float(m["wall_s"]),
+                        float(m["delta"]) if m.get("delta") is not None else None,
+                    )
+                    for m in metrics
+                ],
+                "job_id string, superstep int, parent_superstep int, "
+                "wall_s double, delta double",
+            ).write.mode("overwrite").parquet(os.path.join(d, "metrics_rows"))
+        spark.createDataFrame(
+            [(superstep, p["partition"], p["rows"]) for p in per_part],
+            "superstep int, partition int, rows long",
+        ).write.mode("overwrite").parquet(os.path.join(d, "partition_rows"))
         with open(os.path.join(d, "_COMMITTED"), "w") as f:
             f.write("ok")
 

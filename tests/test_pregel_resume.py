@@ -55,3 +55,9 @@ def test_checkpoint_metrics_have_partition_rows(tiny_edges, tmp_path):
     assert len(meta["history"]) == 2
     assert all({"wall_s", "delta", "superstep"} <= set(m) for m in meta["history"])
     assert sum(p["rows"] for p in meta["partitions"]) > 0
+    # queryable metrics/lineage parquet rows exist alongside the state
+    spark = tiny_edges.sparkSession
+    mrows = spark.read.parquet(os.path.join(ckpt, "m", "superstep=2", "metrics_rows"))
+    assert [r["superstep"] for r in mrows.orderBy("superstep").collect()] == [1, 2]
+    prows = spark.read.parquet(os.path.join(ckpt, "m", "superstep=2", "partition_rows"))
+    assert sum(r["rows"] for r in prows.collect()) > 0
