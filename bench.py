@@ -65,6 +65,10 @@ def main() -> None:
     edges = bench_edges(spark).persist()
     n_edges = edges.count()
 
+    # untimed JIT/cache warmup: one throwaway superstep-shaped pass
+    # (codegen + broadcast paths compile here, not inside the timings)
+    pagerank(edges, tol=None, max_iter=1)
+
     @timed("tpch_q1")
     def _q1():
         li = load_table(spark, SF_DIR, "lineitem")
