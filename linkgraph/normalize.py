@@ -193,10 +193,29 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def normalize_graph(raw_edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Full normalization: raw url links -> (vertices, edges)."""
+def normalize_graph(
+    raw_edges: DataFrame, all_urls: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Full normalization: raw url links -> (vertices, edges).
+
+    ``all_urls`` (a one-column ``url`` frame, e.g. ``pages.select("url")``)
+    additionally registers pages nobody links to/from as isolated
+    vertices — singleton components for CC/LPA (FIXTURES.md §2).
+    """
     canon = canonical_edges(raw_edges)
-    vertices = build_vertices(canon).persist()
+    if all_urls is not None:
+        extra = all_urls.select(canonicalize_url_udf("url").alias("url"))
+        urls = (
+            canon.select(F.col("src_url").alias("url"))
+            .unionAll(canon.select(F.col("dst_url").alias("url")))
+            .unionAll(extra)
+            .distinct()
+        )
+        vertices = assign_contiguous_ids(urls, "url", "vid").select(
+            "vid", "url", F.xxhash64("url").alias("url_hash")
+        ).persist()
+    else:
+        vertices = build_vertices(canon).persist()
     vertices.count()  # materialize once; reused by both joins below
     edges = build_edges(canon, vertices)
     return vertices, edges
