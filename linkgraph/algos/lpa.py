@@ -78,15 +78,19 @@ def label_propagation(
     def delta(old: DataFrame, new: DataFrame) -> float:
         return pregel.changed_count(old, new, "vid", "label")
 
-    return pregel.run_pregel(
-        und,
-        init,
-        superstep,
-        delta,
-        max_iter=max_iter,
-        tol=0.0,
-        checkpoint_dir=checkpoint_dir,
-        job_id=job_id,
-        checkpoint_every=checkpoint_every,
-        resume=resume,
-    )
+    try:
+        return pregel.run_pregel(
+            und,
+            init,
+            superstep,
+            delta,
+            max_iter=max_iter,
+            tol=0.0,
+            checkpoint_dir=checkpoint_dir,
+            job_id=job_id,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
+        )
+    finally:
+        verts.unpersist()
+        und.unpersist()

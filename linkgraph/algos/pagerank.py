@@ -153,17 +153,23 @@ def pagerank(
     def delta(old: DataFrame, new: DataFrame) -> float:
         return pregel.linf_delta(old, new, "vid", "score")
 
-    res = pregel.run_pregel(
-        e,
-        init,
-        superstep,
-        delta if tol is not None else None,
-        max_iter=max_iter,
-        tol=tol if tol is not None else 0.0,
-        checkpoint_dir=checkpoint_dir,
-        job_id=job_id,
-        checkpoint_every=checkpoint_every,
-        resume=resume,
-    )
+    try:
+        res = pregel.run_pregel(
+            e,
+            init,
+            superstep,
+            delta if tol is not None else None,
+            max_iter=max_iter,
+            tol=tol if tol is not None else 0.0,
+            checkpoint_dir=checkpoint_dir,
+            job_id=job_id,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
+        )
+    finally:
+        # the returned state is localCheckpoint-materialized; internal
+        # caches can go (long sessions run many algorithms back to back)
+        verts.unpersist()
+        e.unpersist()
     res.state = res.state.select("vid", "score")
     return res
