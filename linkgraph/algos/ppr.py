@@ -1,0 +1,108 @@
+"""Personalized PageRank: teleport mass returns to a seed set instead of
+uniformly — same superstep kernel as pagerank.py (the reference's seeded
+Start/IdEqualPushDown idea applied to the iterative loop:
+/root/reference/reasoner/lube-logical/.../optimizer/rules/IdEqualPushDown.scala).
+
+Semantics: init = 1/|S| on seeds, 0 elsewhere;
+  score'(v) = d * (Σ_{u→v} score(u)/outdeg(u)) + (1-d+d*dangling) * 1[v∈S]/|S|
+(dangling mass teleports back to the seeds)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph import pregel
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: Sequence[int],
+    *,
+    damping: float = 0.85,
+    tol: float | None = 1e-6,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> pregel.PregelResult:
+    """Returns state (vid, score); scores sum to 1 over the graph."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    seed_list = sorted(set(int(s) for s in seeds))
+    if not seed_list:
+        raise ValueError("personalized_pagerank needs at least one seed vertex")
+    ns = len(seed_list)
+
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .persist()
+    )
+    present = verts.where(F.col("vid").isin(seed_list)).count()
+    if present < ns:
+        raise ValueError(
+            f"{ns - present} seed vertex/vertices not present in the edge table "
+            f"(teleport mass would silently vanish)"
+        )
+    e = edges.select("src", "dst").repartition(num_partitions, "dst").persist()
+    deg = e.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).cast("double").alias("out_degree")
+    )
+    seed_col = F.when(F.col("vid").isin(seed_list), 1.0 / ns).otherwise(0.0)
+    init = (
+        verts.join(deg, "vid", "left")
+        .select(
+            "vid",
+            seed_col.alias("score"),
+            F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
+        )
+        .repartition(num_partitions, "vid")
+    )
+
+    def superstep(edges_df: DataFrame, state: DataFrame, i: int) -> DataFrame:
+        dangling = (
+            state.where(F.col("out_degree") == 0.0)
+            .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        active = F.broadcast(
+            state.where(F.col("out_degree") > 0.0).select(
+                "vid", (F.col("score") / F.col("out_degree")).alias("contrib")
+            )
+        )
+        sums = (
+            edges_df.join(active, edges_df["src"] == active["vid"])
+            .select("dst", "contrib")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("msum"))
+        )
+        teleport = (1.0 - damping) + damping * dangling
+        newscore = (
+            F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
+            + F.when(F.col("vid").isin(seed_list), teleport / ns).otherwise(0.0)
+        ).alias("score")
+        return state.hint("merge").join(
+            sums, state["vid"] == sums["dst"], "left"
+        ).select("vid", newscore, "out_degree")
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        return pregel.linf_delta(old, new, "vid", "score")
+
+    try:
+        res = pregel.run_pregel(
+            e,
+            init,
+            superstep,
+            delta if tol is not None else None,
+            max_iter=max_iter,
+            tol=tol if tol is not None else 0.0,
+            job_id="ppr",
+        )
+    finally:
+        verts.unpersist()
+        e.unpersist()
+    res.state = res.state.select("vid", "score")
+    return res

@@ -169,6 +169,60 @@ def simhash(
     return docs.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole LSH: split the 64-bit simhash into ``bands`` chunks — two
+    hashes within hamming distance < bands must agree on ≥1 chunk, so
+    candidates come from equi-joins on chunk keys (tiny shuffle), then
+    exact hamming verifies. Returns (a, b, hamming) with a < b.
+
+    ``bands`` defaults to the smallest power-of-two divisor of 64 that
+    exceeds ``max_hamming`` (the pigeonhole requirement).
+    """
+    if bands is None:
+        bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
+    assert max_hamming < bands and 64 % bands == 0, (
+        "pigeonhole needs max_hamming < bands and bands | 64"
+    )
+    width = 64 // bands
+    sims = simhash(docs, id_col, text_col).persist()
+    sims.count()
+    chunked = sims.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.call_function("shiftright", F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                ),
+            )
+        ).alias("bc"),
+    ).select("id", "simhash", "bc.band", "bc.chunk")
+    left = chunked.select("band", "chunk", F.col("id").alias("a"), F.col("simhash").alias("ha"))
+    right = chunked.select("band", "chunk", F.col("id").alias("b"), F.col("simhash").alias("hb"))
+    cand = (
+        left.join(right, ["band", "chunk"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("a", "b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def ngram_jaccard(
     docs: DataFrame,
     pairs: DataFrame,

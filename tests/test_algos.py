@@ -93,3 +93,43 @@ def test_triangles(tiny_edges, graph, tiny_plan):
     for v in tiny_plan.k6:
         assert got[v] >= 10
     assert got == exp_per_vertex
+
+
+def test_personalized_pagerank(tiny_edges, graph):
+    from collections import defaultdict
+
+    from linkgraph.algos import personalized_pagerank
+
+    edges, vertices = graph
+    seeds = [0, 5]
+
+    # pure-python oracle with the same semantics
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    score = {v: (1 / len(seeds) if v in seeds else 0.0) for v in vertices}
+    it = 0
+    while it < 100:
+        dangling = sum(score[v] for v in vertices if not out.get(v))
+        tele = (1 - 0.85) + 0.85 * dangling
+        nxt = {v: (tele / len(seeds) if v in seeds else 0.0) for v in vertices}
+        for u, ts in out.items():
+            share = 0.85 * score[u] / len(ts)
+            for t in ts:
+                nxt[t] += share
+        delta = max(abs(nxt[v] - score[v]) for v in vertices)
+        score = nxt
+        it += 1
+        if delta <= 1e-6:
+            break
+
+    res = personalized_pagerank(tiny_edges, seeds, tol=1e-6, max_iter=100)
+    got = {r["vid"]: r["score"] for r in res.state.collect()}
+    assert res.converged
+    import math
+
+    for v in vertices:
+        assert math.isclose(got[v], score[v], abs_tol=1e-6)
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-5)
+    # mass concentrates near the seeds
+    assert got[0] > 1.0 / len(vertices)

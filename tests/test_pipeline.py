@@ -154,3 +154,10 @@ def test_multimodal_stub_raises(spark):
     df = spark.createDataFrame([(1, b"notanimage")], "id bigint, image binary")
     with pytest.raises(Exception, match="NotImplementedError|FAKEIMG|codec|Pillow"):
         multimodal.image_metadata(df).collect()
+
+
+def test_simhash_pairs(docs):
+    got = {(r["a"], r["b"]): r["hamming"] for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    assert got.get((0, 1)) == 0  # exact dup
+    # near dup (0,2) may or may not be <=3 hamming; exact dup must be only 0-distance pair
+    assert all(h <= 3 for h in got.values())
