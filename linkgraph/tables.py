@@ -1,0 +1,105 @@
+"""Table-format abstraction: Iceberg when the runtime jars are present,
+plain parquet directories otherwise — same interface, same plan shapes.
+
+The north-rule deployment reads/writes Iceberg tables (snapshot-append
+checkpoints, MERGE upserts — the reference's graph-store sink,
+/root/reference/builder/runner/local/.../physical/sink/impl/GraphStoreSinkWriter.java).
+This container ships no Iceberg runtime jar, so the parquet store is the
+default and the Iceberg branch is config-gated: point
+``spark.sql.catalog.<name>`` at an Iceberg catalog (jars on the
+classpath) and every call below switches to real Iceberg tables without
+touching caller code.
+
+Upsert semantics in the parquet fallback are emulated with
+anti-join + union + atomic directory swap — the standard jar-free MERGE
+emulation; on Iceberg it is a genuine ``MERGE INTO``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "lg") -> bool:
+    """True when an Iceberg catalog is configured AND its classes load."""
+    impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    if not impl:
+        return False
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class TableStore:
+    """Named tables over Iceberg (if configured) or parquet directories."""
+
+    def __init__(self, spark: SparkSession, root: str, catalog: str = "lg"):
+        self.spark = spark
+        self.root = root
+        self.catalog = catalog
+        self.iceberg = iceberg_available(spark, catalog)
+        if not self.iceberg:
+            os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _ident(self, name: str) -> str:
+        return f"{self.catalog}.db.{name}"
+
+    def write(self, name: str, df: DataFrame, partition_by: tuple[str, ...] = ()) -> None:
+        if self.iceberg:
+            w = df.writeTo(self._ident(name)).using("iceberg")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(self._path(name))
+
+    def read(self, name: str) -> DataFrame:
+        if self.iceberg:
+            return self.spark.read.table(self._ident(name))
+        return self.spark.read.parquet(self._path(name))
+
+    def append(self, name: str, df: DataFrame) -> None:
+        if self.iceberg:
+            df.writeTo(self._ident(name)).append()
+        else:
+            df.write.mode("append").parquet(self._path(name))
+
+    def upsert(self, name: str, df: DataFrame, key: str) -> None:
+        """MERGE INTO by key. Iceberg: native MERGE. Parquet: anti-join +
+        union, written to a temp dir and atomically swapped in."""
+        if self.iceberg:
+            df.createOrReplaceTempView("__upsert_src__")
+            self.spark.sql(
+                f"MERGE INTO {self._ident(name)} t USING __upsert_src__ s "
+                f"ON t.{key} = s.{key} "
+                "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        path = self._path(name)
+        if not os.path.exists(path):
+            df.write.parquet(path)
+            return
+        current = self.spark.read.parquet(path)
+        merged = current.join(df.select(key), key, "left_anti").unionByName(df)
+        tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.parquet(tmp)
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
