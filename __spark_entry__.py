@@ -195,8 +195,13 @@ def _q12_pattern_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q13_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # k_sum as DOUBLE on both sides: DuckDB widens SUM(BIGINT) to HUGEINT
+    # which pandas renders as float64, so an integer Spark column would
+    # rows/schema-match but hash-mismatch (round-1 q13 failure).
     return ev.groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+        .cast("double")
+        .alias("k_sum"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -659,7 +664,7 @@ FROM nation JOIN customer ON n_nationkey = c_nationkey
 JOIN orders ON c_custkey = o_custkey
 GROUP BY n_name""",
         "q13_json": """
-SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum, COUNT(*) AS n
+SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS k_sum, COUNT(*) AS n
 FROM events GROUP BY event_type""",
         "q14_slice_sum": """
 SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS top2_total

@@ -143,6 +143,7 @@ def _star_contraction(
     import time
 
     it = 0
+    converged = False
     while it < max_iter:
         t0 = time.monotonic()
         # large-star: every neighbor larger than u links to u's min neighbor
@@ -177,6 +178,9 @@ def _star_contraction(
         )
         e = small
         if changed == 0:
+            # explicit flag: a run whose edge set stabilises exactly on the
+            # final allowed round is still converged (it == max_iter here)
+            converged = True
             break
 
     # e is now a forest pointing each vertex at its component min.
@@ -192,6 +196,6 @@ def _star_contraction(
     return pregel.PregelResult(
         state=comp.localCheckpoint(eager=True),
         iterations=it,
-        converged=it < max_iter,
+        converged=converged,
         metrics=metrics,
     )

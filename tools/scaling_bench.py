@@ -206,9 +206,19 @@ is the honest analog of adding executors.
 Reproduce: `python tools/scaling_bench.py --n {args.n} --edges {args.edges} --verts {args.verts} --iters {args.iters}`
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
-    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # Preserve hand-written appendix sections on re-run: everything from the
+    # first "## Appendix" heading onward survives a regeneration.
+    appendix = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        idx = old.find("## Appendix")
+        if idx >= 0:
+            appendix = "\n" + old[idx:]
+    with open(path, "w") as f:
+        f.write(md + appendix)
+    print("wrote BENCH/BASELINE.md (appendix preserved)" if appendix else "wrote BENCH/BASELINE.md", file=sys.stderr)
 
 
 if __name__ == "__main__":
