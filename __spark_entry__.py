@@ -439,8 +439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_text_stats": _d_text_stats,
         "d_word_topk": _d_word_topk,
         "d_lang_id": _d_lang_id,
-        "d_minhash_pairs": _d_minhash_pairs,  # no oracle: xxhash64-based
-        "d_simhash": _d_simhash,  # no oracle: xxhash64-based
+        "d_minhash_pairs": _d_minhash_pairs,
+        "d_simhash": _d_simhash,
         "e_ann_topk": _e_ann_topk,
         "e_cosine_pairs": _e_cosine_pairs,
         "e_lsh_topk": _e_lsh_topk,  # no oracle: LSH planes not SQL-expressible
@@ -598,6 +598,81 @@ def _langid_sql() -> str:
     return f"SELECT doc_id, {case_sql} AS pred_lang FROM documents"
 
 
+def _minhash_pairs_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 7,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> str:
+    """DuckDB replica of dedup.minhash_lsh_pairs (portable affine family,
+    linkgraph/pipeline/phash.py) — identical shingling, signatures, band
+    buckets, candidate join and jaccard verify."""
+    from linkgraph.pipeline import phash
+
+    coeffs = phash.seeded_coeffs(num_hashes, seed)
+    rpb = num_hashes // bands
+    x = phash.char_hash_sql("s", shingle_k)
+    mins = ",\n    ".join(
+        f"MIN({phash.affine_sql('x', a, b)}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"{phash.combine_sql([f'h{b * rpb + j}' for j in range(rpb)])} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+WITH normed AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(t) - {shingle_k - 1}, 1) + 1),
+                               i -> substring(t, i, {shingle_k}))) AS s
+  FROM normed
+),
+hx AS (SELECT doc_id, {x} AS x FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT a, b
+FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id
+WHERE ({eq}) / {float(num_hashes)} >= {threshold}"""
+
+
+def _simhash_sql(bits: int = 64, seed: int = 11) -> str:
+    """DuckDB replica of dedup.simhash (portable affine bit family)."""
+    from linkgraph.pipeline import phash
+    from linkgraph.pipeline.dedup import _bit_value
+
+    coeffs = phash.seeded_coeffs(bits, seed)
+    th = phash.token_hash_sql("tok")
+    cnts = ",\n    ".join(
+        f"SUM(CASE WHEN {phash.affine_sql('x', a, b)} % 2 = 1 THEN 1 ELSE -1 END) AS c{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN CAST({_bit_value(i)} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+hx AS (SELECT doc_id, {th} AS x FROM toks),
+cnt AS (SELECT doc_id, {cnts} FROM hx GROUP BY doc_id)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM cnt"""
+
+
 _ANN_SQL = """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id,
@@ -736,5 +811,7 @@ SELECT word, COUNT(*) AS n FROM (
   SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word FROM documents
 ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""",
         "d_lang_id": _langid_sql(),
+        "d_minhash_pairs": _minhash_pairs_sql(),
+        "d_simhash": _simhash_sql(),
         "e_ann_topk": _ANN_SQL,
     }

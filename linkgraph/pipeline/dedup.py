@@ -1,8 +1,10 @@
 """Deduplication operators for large-scale text corpora.
 
-All hot paths are JVM-side Catalyst expressions (xxhash64 + higher-order
-array functions) — no Python in the per-document loop, so the same code
-runs at 100 TB (the shuffles are on short hash keys, never full texts).
+All hot paths are JVM-side Catalyst expressions (seeded affine hashes
+over Z_p + higher-order array functions — see ``phash.py``; the family
+is engine-portable so every operator here has an independent DuckDB
+oracle) — no Python in the per-document loop, so the same code runs at
+100 TB (the shuffles are on short hash keys, never full texts).
 
 Spiritual parity: the reference's fusing strategies dedup vertices by
 business id (/root/reference/builder/core/src/main/java/com/antgroup/openspg/builder/core/strategy/fusing/impl/OverwriteFusing.java);
@@ -13,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from linkgraph.pipeline import phash
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -49,24 +53,31 @@ def minhash_signature(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_k: int = 5,
+    seed: int = 7,
 ) -> DataFrame:
     """(id, sig array<bigint>): sig[i] = min over shingles of
-    xxhash64(i, shingle).
+    (a_i * x + b_i) mod P, x = portable polynomial shingle hash
+    (phash.char_hash — same family DuckDB reproduces for the oracle).
 
-    Implemented as explode(shingles) + num_hashes flat min-aggregates
-    (then re-packed into an array): flat aggregates stay inside
-    whole-stage codegen, ~20× faster than nested higher-order
+    Implemented as explode(shingles) + one shingle hash + num_hashes flat
+    min-aggregates (then re-packed into an array): flat aggregates stay
+    inside whole-stage codegen, ~20× faster than nested higher-order
     array_min(transform(...)) expressions, and the groupBy's map-side
     partial aggregation collapses each doc's shingles before any
     shuffle — at 100 TB the exchange carries ~1 row per document."""
+    coeffs = phash.seeded_coeffs(num_hashes, seed)
     normed = docs.select(F.col(id_col), _norm_text(text_col).alias("__norm__"))
     ex = normed.select(
         F.col(id_col), F.explode(_shingles("__norm__", shingle_k)).alias("__sh__")
     )
-    aggd = ex.groupBy(id_col).agg(
+    # hash the shingle ONCE; each family member is a multiply-add-mod
+    xed = ex.select(
+        F.col(id_col), phash.char_hash(F.col("__sh__"), shingle_k).alias("__x__")
+    )
+    aggd = xed.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("__sh__"))).alias(f"__h{i}__")
-            for i in range(num_hashes)
+            F.min(phash.affine(F.col("__x__"), a, b)).alias(f"__h{i}__")
+            for i, (a, b) in enumerate(coeffs)
         ]
     )
     return aggd.select(
@@ -83,6 +94,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.6,
+    seed: int = 7,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified by
     estimated Jaccard (fraction of agreeing minhashes).
@@ -91,19 +103,26 @@ def minhash_lsh_pairs(
     band key only) -> verify. Returns (a, b, jaccard_est) with a < b.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(docs, id_col, text_col, num_hashes, shingle_k).persist()
+    sigs = minhash_signature(
+        docs, id_col, text_col, num_hashes, shingle_k, seed
+    ).persist()
     sigs.count()  # materialize: the self-join below reads it twice
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        b, F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        phash.combine(
+                            [
+                                F.element_at("sig", b * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
@@ -137,36 +156,51 @@ def minhash_lsh_pairs(
     return jacc.where(F.col("jaccard_est") >= jaccard_threshold)
 
 
+def _bit_value(i: int) -> int:
+    """Signed-long value of bit ``i`` (bit 63 is the sign bit)."""
+    return -(1 << 63) if i == 63 else 1 << i
+
+
 def simhash(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    seed: int = 11,
 ) -> DataFrame:
     """(id, simhash bigint): sign-aggregated token-hash bits — classic
-    Charikar simhash, expressed with higher-order functions only."""
-    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    counts = F.aggregate(
-        tokens,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda a, i: a
-            + F.when(
-                F.call_function("shiftright", F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
-        ),
+    Charikar simhash.
+
+    bit_i(token) = (a_i * token_hash + b_i) mod P mod 2 (portable affine
+    family, reproducible in the DuckDB oracle). Implemented as
+    explode(tokens) + one token hash + ``bits`` flat sum-aggregates:
+    map-side combine collapses each doc's tokens before the shuffle, and
+    the flat aggs stay in whole-stage codegen (the round-1 nested
+    aggregate/zip_with fold evaluated xxhash64 per (token, bit))."""
+    assert bits <= 64
+    coeffs = phash.seeded_coeffs(bits, seed)
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__tok__"),
     )
-    sim = F.aggregate(
-        F.zip_with(
-            counts,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, i: F.when(
-                c > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+    xed = toks.select(F.col(id_col), phash.token_hash(F.col("__tok__")).alias("__x__"))
+    aggd = xed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(phash.affine(F.col("__x__"), a, b) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"__c{i}__")
+            for i, (a, b) in enumerate(coeffs)
+        ]
     )
-    return docs.select(F.col(id_col), sim.alias("simhash"))
+    # disjoint bit values: plain sum == bitwise OR (bit 63 = -2^63 keeps
+    # the total inside signed-64 range in both engines)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"__c{i}__") > 0, F.lit(_bit_value(i))).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return aggd.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(
