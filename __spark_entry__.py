@@ -443,8 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash": _d_simhash,
         "e_ann_topk": _e_ann_topk,
         "e_cosine_pairs": _e_cosine_pairs,
-        "e_lsh_topk": _e_lsh_topk,  # no oracle: LSH planes not SQL-expressible
-        "e_ivf_topk": _e_ivf_topk,  # no oracle: IVF list assignment not SQL-expressible
+        "e_lsh_topk": _e_lsh_topk,
+        "e_ivf_topk": _e_ivf_topk,
     }
 
 
@@ -673,6 +673,86 @@ cnt AS (SELECT doc_id, {cnts} FROM hx GROUP BY doc_id)
 SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM cnt"""
 
 
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"({_dot_sql(a, b, dim)} / "
+        f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)})))"
+    )
+
+
+def _lsh_topk_sql(k: int = 10, n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB replica of simsearch.lsh_topk: the hyperplanes are seeded
+    driver-side constants, so they embed as full-precision literals; the
+    double dot products fold in the same element order in both engines
+    (list_sum == Spark's aggregate fold), so the sign bits are
+    bit-identical."""
+    from linkgraph.pipeline.simsearch import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    bits = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings),
+q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+scored AS (
+  SELECT b.vec_id, {_cos_sql('b.embedding', 'q.qe', dim)} AS raw
+  FROM b JOIN q ON b.bucket = q.qb
+)
+SELECT vec_id, ROUND(raw, 6) AS score FROM scored ORDER BY raw DESC, vec_id ASC LIMIT {k}"""
+
+
+def _ivf_topk_sql(
+    k: int = 10, n_centroids: int = 16, n_probe: int = 4, dim: int = 64, seed: int = 7
+) -> str:
+    """DuckDB replica of simsearch.ivf_topk: seeded-sample centroids
+    re-derived by the same affine id-hash rank; nearest-centroid argmax
+    expressed as ROW_NUMBER(sim DESC, cent_id ASC) — the same order as
+    the Spark greatest() over (sim, -cent_id) structs."""
+    from linkgraph.pipeline import phash
+
+    (a, b) = phash.seeded_coeffs(1, seed)[0]
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  ORDER BY (CAST(vec_id AS BIGINT) * {a} + {b}) % {phash.P}, vec_id ASC LIMIT {n_centroids}
+),
+casgn AS (
+  SELECT vec_id, embedding, cent_id AS list_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cvec', dim)} DESC, c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qprobe AS (
+  SELECT cent_id AS list_id FROM (
+    SELECT c.cent_id,
+           ROW_NUMBER() OVER (
+             ORDER BY {_cos_sql('q.qe', 'c.cvec', dim)} DESC, c.cent_id ASC) AS rn
+    FROM q CROSS JOIN cents c) t WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT cg.vec_id, {_cos_sql('cg.embedding', 'q.qe', dim)} AS raw
+  FROM casgn cg JOIN qprobe ON cg.list_id = qprobe.list_id CROSS JOIN q
+)
+SELECT vec_id, ROUND(raw, 6) AS score FROM scored ORDER BY raw DESC, vec_id ASC LIMIT {k}"""
+
+
 _ANN_SQL = """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id,
@@ -814,4 +894,6 @@ SELECT word, COUNT(*) AS n FROM (
         "d_minhash_pairs": _minhash_pairs_sql(),
         "d_simhash": _simhash_sql(),
         "e_ann_topk": _ANN_SQL,
+        "e_lsh_topk": _lsh_topk_sql(),
+        "e_ivf_topk": _ivf_topk_sql(),
     }

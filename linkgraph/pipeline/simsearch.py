@@ -84,6 +84,102 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def seeded_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random centroid sample: the ``n_centroids``
+    corpus vectors ranked smallest by a seeded affine hash of their id —
+    a uniform sample reproducible in SQL (unlike round 1's lowest-id
+    pick, whose recall depended on id assignment). One tiny top-k +
+    collect; the result is embedded as plan literals."""
+    from linkgraph.pipeline import phash
+
+    (a, b) = phash.seeded_coeffs(1, seed)[0]
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(
+            (F.col(id_col).cast("long") * F.lit(a) + F.lit(b)) % F.lit(phash.P),
+            F.col(id_col).asc(),
+        )
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Optional Lloyd refinement of seeded centroids (better recall; not
+    used by the oracle-checked query because float group-sums are
+    order-nondeterministic across engines). Each iteration is one
+    projection-assign + one groupBy avg — no crossJoin, no window."""
+    dim = len(centroids[0][1])
+    cents = centroids
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col), _nearest_centroid(F.col(vec_col), cents).alias("list_id")
+        )
+        means = (
+            assigned.groupBy("list_id")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        by_id = {int(r["list_id"]): [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        cents = [(cid, by_id.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
+def _nearest_centroid(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """argmax-by-cosine over literal centroids as a pure projection —
+    zero shuffle (round 1 did crossJoin(corpus, centroids) + a window
+    partitioned per vec_id, a full corpus×n_centroids exchange).
+
+    greatest() over (sim, -cent_id) structs = highest cosine, lowest
+    cent_id on ties — the same order as ROW_NUMBER(sim DESC, cent_id ASC)
+    in the DuckDB oracle."""
+    structs = [
+        F.struct(
+            cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+            F.lit(-cid).cast("long").alias("nc"),
+        )
+        for cid, cvec in centroids
+    ]
+    best = F.greatest(*structs) if len(structs) > 1 else structs[0]
+    return (-best["nc"]).alias("list_id")
+
+
+def _probe_lists(
+    vec: Column, centroids: list[tuple[int, list[float]]], n_probe: int
+) -> Column:
+    """Array of the ``n_probe`` nearest centroid ids — also projection-only."""
+    structs = F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+                F.lit(-cid).cast("long").alias("nc"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    top = F.slice(F.sort_array(structs, asc=False), 1, n_probe)
+    return F.transform(top, lambda st: -st["nc"])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -93,51 +189,37 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    seed: int = 7,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted
     lists by nearest centroid; each query scans only its ``n_probe``
     nearest lists (~n_probe/n_centroids of the corpus).
 
-    Centroids are deterministic: the ``n_centroids`` corpus vectors with
-    the smallest ids (no iterative training — swap in k-means centroids
-    for better recall; the scan/partition plumbing is identical). The
-    centroid table is tiny and broadcast; the corpus gets its list id in
-    one pass and can be cached/written partitioned by ``list_id`` so
-    repeated queries only touch matching partitions.
+    Centroids are a seeded pseudo-random sample of corpus vectors
+    (optionally Lloyd-refined via ``kmeans_iters``), embedded as plan
+    literals: list assignment is a pure projection (argmax over the
+    literal centroid structs — zero shuffle, verified in docs/PLANS.md),
+    so the corpus can be written/cached partitioned by ``list_id`` and
+    repeated queries touch only matching partitions.
     """
     from pyspark.sql import Window
 
-    cents = F.broadcast(
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
-        )
-    )
+    cents = seeded_centroids(corpus, n_centroids, id_col, vec_col, seed)
+    if kmeans_iters:
+        cents = kmeans_refine(corpus, cents, kmeans_iters, vec_col)
 
-    def assign(df: DataFrame, key: str, vcol: str, probes: int) -> DataFrame:
-        scored = df.crossJoin(cents).withColumn(
-            "__sim__", cosine(F.col(vcol), F.col("cvec"))
-        )
-        w = Window.partitionBy(key).orderBy(
-            F.col("__sim__").desc(), F.col("cent_id").asc()
-        )
-        return (
-            scored.withColumn("__rn__", F.row_number().over(w))
-            .where(F.col("__rn__") <= probes)
-            .select(df["*"], F.col("cent_id").alias("list_id"))
-        )
-
-    lists = assign(
-        corpus.select(F.col(id_col), F.col(vec_col).alias("cv")), id_col, "cv", 1
+    lists = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("cv"),
+        _nearest_centroid(F.col(vec_col), cents).alias("list_id"),
     )
-    qlists = assign(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("qv")),
-        query_id_col,
-        "qv",
-        n_probe,
+    qprobes = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("qv"),
+        F.explode(_probe_lists(F.col(vec_col), cents, n_probe)).alias("list_id"),
     )
-    scored = lists.join(F.broadcast(qlists), "list_id").select(
+    scored = lists.join(F.broadcast(qprobes), "list_id").select(
         query_id_col,
         F.col(id_col).alias("vec_id"),
         cosine(F.col("cv"), F.col("qv")).alias("score"),
@@ -167,11 +249,15 @@ def lsh_topk(
 
     Recall trades off with 2^n_planes; the bucket join key is one long,
     so the shuffle is tiny at any corpus size.
+
+    ``dim`` must be passed explicitly (it is a schema-level fact the
+    caller knows); deriving it from the data would need a driver-side
+    action on the corpus before planning.
     """
     from pyspark.sql import Window
 
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        raise ValueError("lsh_topk requires an explicit embedding dim")
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),

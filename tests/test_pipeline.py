@@ -118,7 +118,7 @@ def test_lsh_topk_overlaps_brute_force(vectors):
         F.lit(0).alias("query_id"), F.col("embedding")
     )
     brute = {r["vec_id"] for r in simsearch.brute_force_topk(vectors, q, k=5).collect()}
-    approx = {r["vec_id"] for r in simsearch.lsh_topk(vectors, q, k=5, n_planes=4).collect()}
+    approx = {r["vec_id"] for r in simsearch.lsh_topk(vectors, q, k=5, n_planes=4, dim=16).collect()}
     # same-cluster vectors land in the query's bucket with high prob
     assert 0 in approx
     assert len(brute & approx) >= 3
@@ -161,3 +161,35 @@ def test_simhash_pairs(docs):
     assert got.get((0, 1)) == 0  # exact dup
     # near dup (0,2) may or may not be <=3 hamming; exact dup must be only 0-distance pair
     assert all(h <= 3 for h in got.values())
+
+
+def test_lsh_topk_requires_dim(vectors):
+    q = vectors.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    with pytest.raises(ValueError):
+        simsearch.lsh_topk(vectors, q, k=5, n_planes=4)
+
+
+def test_ivf_kmeans_refine_improves_or_matches(vectors):
+    """Lloyd refinement keeps (usually improves) recall vs the seeded
+    sample, and stays deterministic run-to-run."""
+    q = vectors.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    brute = {r["vec_id"] for r in simsearch.brute_force_topk(vectors, q, k=5).collect()}
+    km1 = {
+        r["vec_id"]
+        for r in simsearch.ivf_topk(
+            vectors, q, k=5, n_centroids=8, n_probe=3, kmeans_iters=2
+        ).collect()
+    }
+    km2 = {
+        r["vec_id"]
+        for r in simsearch.ivf_topk(
+            vectors, q, k=5, n_centroids=8, n_probe=3, kmeans_iters=2
+        ).collect()
+    }
+    assert km1 == km2  # deterministic
+    assert 0 in km1
+    assert len(brute & km1) >= 3
