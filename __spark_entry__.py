@@ -391,6 +391,16 @@ def _e_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _e_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for cosine near-dup: multi-table LSH candidates + exact
+    verify (e_cosine_pairs stays as its brute-force small-scale oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = simsearch.cosine_pairs_lsh(
+        emb, threshold=0.45, n_planes=6, n_tables=4, dim=64
+    )
+    return out.select("a", "b", F.round("score", 6).alias("score"))
+
+
 def _e_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(
@@ -443,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash": _d_simhash,
         "e_ann_topk": _e_ann_topk,
         "e_cosine_pairs": _e_cosine_pairs,
+        "e_cosine_pairs_lsh": _e_cosine_pairs_lsh,
         "e_lsh_topk": _e_lsh_topk,
         "e_ivf_topk": _e_ivf_topk,
     }
@@ -687,24 +698,28 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     )
 
 
-def _lsh_topk_sql(k: int = 10, n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
-    """DuckDB replica of simsearch.lsh_topk: the hyperplanes are seeded
-    driver-side constants, so they embed as full-precision literals; the
+def _bucket_sql(planes: list[list[float]], dim: int, vec: str = "embedding") -> str:
+    """Hyperplane sign-bit bucket of ``vec`` with literal planes — the
     double dot products fold in the same element order in both engines
     (list_sum == Spark's aggregate fold), so the sign bits are
     bit-identical."""
-    from linkgraph.pipeline.simsearch import hyperplanes
-
-    planes = hyperplanes(dim, n_planes, seed)
     bits = []
     for j, p in enumerate(planes):
         lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
         dot = (
             f"list_sum(list_transform(range(1, {dim + 1}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i]))"
         )
         bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
-    bucket = " + ".join(bits)
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_topk_sql(k: int = 10, n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB replica of simsearch.lsh_topk (seeded hyperplanes embed as
+    full-precision literals)."""
+    from linkgraph.pipeline.simsearch import hyperplanes
+
+    bucket = _bucket_sql(hyperplanes(dim, n_planes, seed), dim)
     return f"""
 WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings),
 q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
@@ -713,6 +728,42 @@ scored AS (
   FROM b JOIN q ON b.bucket = q.qb
 )
 SELECT vec_id, ROUND(raw, 6) AS score FROM scored ORDER BY raw DESC, vec_id ASC LIMIT {k}"""
+
+
+def _cosine_pairs_lsh_sql(
+    threshold: float = 0.45,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    """DuckDB replica of simsearch.cosine_pairs_lsh: per-table buckets as
+    a UNION ALL, candidate pairs from any shared (table, bucket), exact
+    cosine verify."""
+    from linkgraph.pipeline.simsearch import hyperplanes
+
+    table_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{_bucket_sql(hyperplanes(dim, n_planes, seed + 1000 * t), dim)} AS bucket "
+        "FROM embeddings"
+        for t in range(n_tables)
+    )
+    cos = _cos_sql("va.embedding", "vb.embedding", dim)
+    return f"""
+WITH bkt AS (
+  {table_selects}
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM bkt l JOIN bkt r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT cand.a, cand.b, {cos} AS raw
+  FROM cand
+  JOIN embeddings va ON cand.a = va.vec_id
+  JOIN embeddings vb ON cand.b = vb.vec_id
+)
+SELECT a, b, ROUND(raw, 6) AS score FROM scored WHERE raw >= {threshold}"""
 
 
 def _ivf_topk_sql(
@@ -894,6 +945,7 @@ SELECT word, COUNT(*) AS n FROM (
         "d_minhash_pairs": _minhash_pairs_sql(),
         "d_simhash": _simhash_sql(),
         "e_ann_topk": _ANN_SQL,
+        "e_cosine_pairs_lsh": _cosine_pairs_lsh_sql(),
         "e_lsh_topk": _lsh_topk_sql(),
         "e_ivf_topk": _ivf_topk_sql(),
     }

@@ -234,6 +234,60 @@ def ivf_topk(
     )
 
 
+def cosine_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-safe embedding-cosine near-dup pairs: multi-table hyperplane
+    LSH candidate generation + exact cosine verify.
+
+    Candidates are pairs sharing a bucket in ANY of ``n_tables``
+    independent plane sets (recall grows with tables; each miss needs
+    all tables to split the pair). The bucket self-join key is
+    (table, bucket) — two small ints — so the candidate shuffle carries
+    ids only and the wide vectors re-join after the pair dedup. This is
+    the 100 TB path; the brute-force all-pairs `a<b` join
+    (`e_cosine_pairs`) stays as its small-scale test oracle.
+    """
+    if dim is None:
+        raise ValueError("cosine_pairs_lsh requires an explicit embedding dim")
+    tables = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    bucketed = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "tb.tbl", "tb.bucket")
+    left = bucketed.select("tbl", "bucket", F.col("id").alias("a"))
+    right = bucketed.select("tbl", "bucket", F.col("id").alias("b"))
+    cand = (
+        left.join(right, ["tbl", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    scored = cand.join(va, "a").join(vb, "b").select(
+        "a", "b", cosine(F.col("va"), F.col("vb")).alias("score")
+    )
+    return scored.where(F.col("score") >= threshold)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -193,3 +193,29 @@ def test_ivf_kmeans_refine_improves_or_matches(vectors):
     assert km1 == km2  # deterministic
     assert 0 in km1
     assert len(brute & km1) >= 3
+
+
+def test_cosine_pairs_lsh_finds_planted_cluster(vectors):
+    """Genuinely-near pairs (the planted cos≈0.99 cluster, ids 0-4) all
+    survive multi-table LSH; precision is exact by construction (every
+    emitted pair passes the exact cosine verify)."""
+    got = simsearch.cosine_pairs_lsh(
+        vectors, threshold=0.9, n_planes=6, n_tables=4, dim=16
+    ).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    expected = {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    assert expected <= pairs
+    # verify step is exact: every reported score really is >= threshold
+    brute = {
+        (r["a"], r["b"])
+        for r in vectors.alias("x")
+        .join(vectors.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("a"),
+            F.col("y.vec_id").alias("b"),
+            simsearch.cosine(F.col("x.embedding"), F.col("y.embedding")).alias("s"),
+        )
+        .where(F.col("s") >= 0.9)
+        .collect()
+    }
+    assert pairs <= brute
