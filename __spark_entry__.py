@@ -22,7 +22,15 @@ from pyspark.sql import functions as F
 
 from linkgraph.algos import connected_components, label_propagation, pagerank
 from linkgraph.algos.triangles import triangle_list
-from linkgraph.ops import anti, optional, pattern_union, semi, top_k, var_len_expand
+from linkgraph.ops import (
+    anti,
+    as_of_join,
+    optional,
+    pattern_union,
+    semi,
+    top_k,
+    var_len_expand,
+)
 from linkgraph.pipeline import dedup, simsearch, textstats
 from linkgraph.session import load_table
 
@@ -276,6 +284,25 @@ def _q17_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("user_id").agg(F.max("gap").alias("max_gap_s"))
 
 
+def _q18_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (multi-version / time-travel lookup, KTMultiVersion
+    analog): for each purchase, the user's most recent view at-or-before
+    it. Verified against DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    j = as_of_join(purchases, views, ["user_id"], left_ts="ts", right_ts="ts")
+    return j.select(
+        "user_id", "purchase_id", F.coalesce("view_id", F.lit(-1)).alias("view_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # graph queries (fixed supersteps -> exact oracle match)
 # ---------------------------------------------------------------------------
@@ -438,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_scalar_funcs": _q15_scalar_funcs,
         "q16_varlen_monotone": _q16_varlen_monotone,
         "q17_event_gaps": _q17_event_gaps,
+        "q18_asof": _q18_asof,
         "g_degree_topk": _g_degree_topk,
         "g_pagerank5": _g_pagerank5,
         "g_cc8": _g_cc8,
@@ -905,6 +933,17 @@ SELECT user_id, MAX(gap) AS max_gap_s FROM (
          CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))) AS BIGINT) AS gap
   FROM events
 ) t GROUP BY user_id""",
+        "q18_asof": """
+WITH v AS (
+  SELECT user_id, ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id, COALESCE(v.view_id, -1) AS view_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""",
         "e_cosine_pairs": """
 WITH n AS (
   SELECT vec_id, embedding,

@@ -219,3 +219,30 @@ def normalize_graph(
     vertices.count()  # materialize once; reused by both joins below
     edges = build_edges(canon, vertices)
     return vertices, edges
+
+
+def latest_snapshot(
+    pages: DataFrame,
+    key_col: str = "url",
+    version_col: str = "warc_ts",
+    as_of=None,
+) -> DataFrame:
+    """Latest version of each page at-or-before ``as_of`` (``None`` =
+    latest overall) — multi-version property semantics (KTMultiVersion,
+    /root/reference/reasoner/lube-api/src/main/scala/com/antgroup/openspg/reasoner/common/types/KgType.scala:72;
+    VertexVersionProperty.java:30): a crawl corpus carries many
+    (url, warc_ts) captures; a graph build reads one consistent snapshot.
+
+    One window over (key, version desc) — a single shuffle by key; feed
+    the result to ``normalize_graph(extracted_edges(...))`` for an
+    as-of-timestamp graph build.
+    """
+    from pyspark.sql import Window
+
+    df = pages if as_of is None else pages.where(F.col(version_col) <= F.lit(as_of))
+    w = Window.partitionBy(key_col).orderBy(F.col(version_col).desc())
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )

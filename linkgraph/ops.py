@@ -280,3 +280,71 @@ def unfold(df: DataFrame, col: str) -> DataFrame:
 
 def cache(df: DataFrame) -> DataFrame:
     return df.persist()
+
+
+# --------------------------------------------------------------------------
+# temporal / multi-version (KTMultiVersion analog,
+# /root/reference/reasoner/lube-api/src/main/scala/.../KgType.scala:72;
+# VertexVersionProperty.java:30)
+# --------------------------------------------------------------------------
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` within the same key (left outer: no match
+    -> nulls) — the time-travel lookup a multi-version property store
+    answers per read.
+
+    One shuffle by key: both sides union into a single (key, ts)-sorted
+    stream and the right payload carries forward via
+    ``last(ignorenulls)`` over an unbounded-preceding window — no range
+    join, no per-row subquery, so the plan is a sort + window at any
+    scale. Right rows must be unique per (key, right_ts); pre-aggregate
+    otherwise (equal-ts rows would be picked by stream order).
+    """
+    on = list(on)
+    lcols = [c for c in left.columns if c not in on and c != left_ts]
+    rcols = [c for c in right.columns if c not in on and c != right_ts]
+    clash = set(lcols) & set(rcols)
+    if clash:
+        raise ValueError(f"as_of_join: rename colliding columns first: {sorted(clash)}")
+    l2 = left.select(
+        *on,
+        F.col(left_ts).alias("__ts__"),
+        F.lit(1).alias("__tag__"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__") for c in rcols],
+    )
+    r2 = right.select(
+        *on,
+        F.col(right_ts).alias("__ts__"),
+        F.lit(0).alias("__tag__"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}__") for c in rcols],
+    )
+    u = l2.unionByName(r2)
+    # right rows sort before left rows at equal ts => "at-or-before" is inclusive
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts__").asc(), F.col("__tag__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *on,
+        "__ts__",
+        "__tag__",
+        *lcols,
+        *[
+            F.last(F.col(f"__r_{c}__"), ignorenulls=True).over(w).alias(c)
+            for c in rcols
+        ],
+    )
+    return carried.where(F.col("__tag__") == 1).drop("__tag__").withColumnRenamed(
+        "__ts__", left_ts
+    )

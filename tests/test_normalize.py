@@ -45,3 +45,30 @@ def test_normalize_graph_end_to_end(spark, tiny_pages):
     # no self loops, no duplicates
     assert edges.where(F.col("src") == F.col("dst")).count() == 0
     assert edges.count() == edges.select("src", "dst").distinct().count()
+
+
+def test_latest_snapshot_multi_version(spark):
+    import datetime as dt
+
+    from linkgraph.normalize import latest_snapshot
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    pages = spark.createDataFrame(
+        [
+            ("a", t(1), "a-v1"),
+            ("a", t(5), "a-v2"),
+            ("a", t(9), "a-v3"),
+            ("b", t(3), "b-v1"),
+        ],
+        "url string, warc_ts timestamp, html string",
+    )
+    latest = {r["url"]: r["html"] for r in latest_snapshot(pages).collect()}
+    assert latest == {"a": "a-v3", "b": "b-v1"}
+    asof = {
+        r["url"]: r["html"]
+        for r in latest_snapshot(pages, as_of=t(6)).collect()
+    }
+    assert asof == {"a": "a-v2", "b": "b-v1"}
+    # as_of before any capture of a url -> that url absent from the snapshot
+    early = {r["url"] for r in latest_snapshot(pages, as_of=t(2)).collect()}
+    assert early == {"a"}

@@ -114,3 +114,29 @@ def test_function_registry(spark):
     ).orderBy("k").collect()
     assert row2[0]["cat"] == "1,2" and row2[0]["cond_sum"] == 2
     assert row2[1]["cat"] == "3" and row2[1]["cond_sum"] == 3
+
+
+def test_as_of_join_basic(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "p1"), ("u1", 5, "p2"), ("u2", 7, "p3"), ("u3", 1, "p4")],
+        "k string, ts int, pid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, "v1"), ("u1", 8, "v2"), ("u2", 9, "v3")],
+        "k string, ts int, vid string",
+    )
+    got = {
+        r["pid"]: r["vid"]
+        for r in ops.as_of_join(left, right, ["k"]).collect()
+    }
+    # p1@10 -> v2@8 (latest <= 10); p2@5 -> v1@5 (equal ts inclusive);
+    # p3@7 -> no right row <= 7; p4 -> user has no right rows at all
+    assert got == {"p1": "v2", "p2": "v1", "p3": None, "p4": None}
+
+
+def test_as_of_join_rejects_column_clash(spark):
+    import pytest
+
+    df = spark.createDataFrame([("u1", 1, "x")], "k string, ts int, payload string")
+    with pytest.raises(ValueError):
+        ops.as_of_join(df, df, ["k"])
