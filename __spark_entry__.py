@@ -284,6 +284,29 @@ def _q17_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("user_id").agg(F.max("gap").alias("max_gap_s"))
 
 
+def _q19_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulate UDAF (Expr.scala:123) + the @UdfDefine-analog
+    registration surface: a custom scalar registered via
+    functions.register_scalar feeds the grouping key."""
+    from linkgraph.functions import AGGREGATES, SCALARS, register_scalar
+
+    if "order_band" not in SCALARS:
+
+        @register_scalar("order_band")
+        def order_band(c):  # 50k-wide price bands
+            return F.floor(c / 50000).cast("bigint")
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        SCALARS["order_band"](F.col("o_totalprice")).alias("band")
+    ).agg(
+        AGGREGATES["accumulate"](F.col("o_totalprice").cast("decimal(18,2)"), "+")
+        .cast("double")
+        .alias("acc_total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _q18_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (multi-version / time-travel lookup, KTMultiVersion
     analog): for each purchase, the user's most recent view at-or-before
@@ -466,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_varlen_monotone": _q16_varlen_monotone,
         "q17_event_gaps": _q17_event_gaps,
         "q18_asof": _q18_asof,
+        "q19_accumulate": _q19_accumulate,
         "g_degree_topk": _g_degree_topk,
         "g_pagerank5": _g_pagerank5,
         "g_cc8": _g_cc8,
@@ -944,6 +968,11 @@ p AS (
 )
 SELECT p.user_id, p.purchase_id, COALESCE(v.view_id, -1) AS view_id
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""",
+        "q19_accumulate": """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS band,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS acc_total,
+       COUNT(*) AS n
+FROM orders GROUP BY 1""",
         "e_cosine_pairs": """
 WITH n AS (
   SELECT vec_id, embedding,

@@ -90,7 +90,46 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     "keep_longest_path": lambda path: F.max_by(path, F.size(path)),
     # StrJoin — alias of concat_agg with custom sep
     "str_join": lambda c, sep: F.concat_ws(sep, F.sort_array(F.collect_list(c))),
+    # Accumulate(op), op in {+, *} — list-accumulate fold
+    # (Expr.scala:123; KGDSL.g4:332 accumulate_support_op: plus|asterisk)
+    "accumulate": lambda c, op="+": {"+": F.sum, "*": F.product}[op](c),
 }
+
+
+# --------------------------------------------------------------------------
+# public registration surface (@UdfDefine analog,
+# /root/reference/reasoner/udf/src/main/java/com/antgroup/openspg/reasoner/udf/UdfMngFactory.java:
+# the reference scans the classpath for @UdfDefine; here registration is
+# an explicit decorator writing into the same dicts the engine reads)
+# --------------------------------------------------------------------------
+
+
+def register_scalar(name: str, *, replace: bool = False):
+    """Decorator: register a Column-builder callable as a named scalar
+    function. The callable must build Catalyst expressions (or a
+    pandas_udf Column) — it is handed Columns and returns a Column."""
+
+    def deco(fn: Callable[..., Column]) -> Callable[..., Column]:
+        if name in SCALARS and not replace:
+            raise ValueError(f"scalar {name!r} already registered")
+        SCALARS[name] = fn
+        return fn
+
+    return deco
+
+
+def register_agg(name: str, *, replace: bool = False):
+    """Decorator: register a named aggregate (must be a mergeable
+    Spark aggregate expression — partial/final capable, like the
+    reference's BaseUdaf contract)."""
+
+    def deco(fn: Callable[..., Column]) -> Callable[..., Column]:
+        if name in AGGREGATES and not replace:
+            raise ValueError(f"aggregate {name!r} already registered")
+        AGGREGATES[name] = fn
+        return fn
+
+    return deco
 
 
 def agg_if(agg: Callable[..., Column], cond: Column, col: Column) -> Column:

@@ -140,3 +140,45 @@ def test_as_of_join_rejects_column_clash(spark):
     df = spark.createDataFrame([("u1", 1, "x")], "k string, ts int, payload string")
     with pytest.raises(ValueError):
         ops.as_of_join(df, df, ["k"])
+
+
+def test_accumulate_and_registration(spark):
+    from linkgraph.functions import (
+        AGGREGATES,
+        SCALARS,
+        register_agg,
+        register_scalar,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 2), ("a", 3), ("b", 5)], "k string, v int"
+    )
+    rows = (
+        df.groupBy("k")
+        .agg(
+            AGGREGATES["accumulate"](F.col("v"), "+").alias("s"),
+            AGGREGATES["accumulate"](F.col("v"), "*").alias("p"),
+        )
+        .orderBy("k")
+        .collect()
+    )
+    assert (rows[0]["s"], rows[0]["p"]) == (5, 6.0)
+    assert (rows[1]["s"], rows[1]["p"]) == (5, 5.0)
+
+    @register_scalar("double_it_test", replace=True)
+    def double_it(c):
+        return c * 2
+
+    @register_agg("sum_sq_test", replace=True)
+    def sum_sq(c):
+        return F.sum(c * c)
+
+    got = df.select(SCALARS["double_it_test"](F.col("v")).alias("d")).agg(
+        AGGREGATES["sum_sq_test"](F.col("d")).alias("ss")
+    ).collect()[0]
+    assert got["ss"] == 4 * (4 + 9 + 25)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        register_scalar("double_it_test")(double_it)
