@@ -30,6 +30,7 @@ from linkgraph.ops import (
     semi,
     top_k,
     var_len_expand,
+    var_len_expand_paths,
 )
 from linkgraph.pipeline import dedup, simsearch, textstats
 from linkgraph.session import load_table
@@ -264,10 +265,55 @@ def _q16_varlen_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.min("ts").alias("ts"))
     )
-    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ts").alias("t1"))
-    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"), F.col("ts").alias("t2"))
-    paths = e1.join(e2, "b").where(F.col("t1") < F.col("t2"))
-    return paths.groupBy("a").agg(F.count(F.lit(1)).alias("n_paths"))
+    frontier = e.select(F.col("src").alias("vid")).distinct()
+    paths = var_len_expand_paths(
+        frontier,
+        e,
+        2,
+        2,
+        edge_props=["ts"],
+        edge_constraint=lambda prev, new: prev["ts"] < new["ts"],
+    )
+    return paths.groupBy(F.col("start").alias("a")).agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )
+
+
+def _q20_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Var-len path ENUMERATION (PathEdge accumulation): every monotone
+    1..2-hop path from low-id seeds, returned as a path string — the
+    materialized-path counterpart of q16's count-only form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 211).alias("src"),
+            (F.col("l_partkey") % 211).alias("dst"),
+            F.col("l_shipdate").alias("ts"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("ts").alias("ts"))
+    )
+    seeds = e.select(F.col("src").alias("vid")).where(F.col("vid") < 5).distinct()
+    paths = var_len_expand_paths(
+        seeds,
+        e,
+        1,
+        2,
+        edge_props=["ts"],
+        edge_constraint=lambda prev, new: prev["ts"] < new["ts"],
+    )
+    return paths.select(
+        "start",
+        "hops",
+        F.concat(
+            F.col("start").cast("string"),
+            F.lit("->"),
+            F.array_join(
+                F.transform("path", lambda x: x["dst"].cast("string")), "->"
+            ),
+        ).alias("path_str"),
+    )
 
 
 def _q17_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_event_gaps": _q17_event_gaps,
         "q18_asof": _q18_asof,
         "q19_accumulate": _q19_accumulate,
+        "q20_paths": _q20_paths,
         "g_degree_topk": _g_degree_topk,
         "g_pagerank5": _g_pagerank5,
         "g_cc8": _g_cc8,
@@ -973,6 +1020,26 @@ SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS band,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS acc_total,
        COUNT(*) AS n
 FROM orders GROUP BY 1""",
+        "q20_paths": """
+WITH e AS (
+  SELECT l_orderkey % 211 AS src, l_partkey % 211 AS dst, MIN(l_shipdate) AS ts
+  FROM lineitem WHERE l_orderkey % 211 <> l_partkey % 211
+  GROUP BY 1, 2
+),
+p1 AS (
+  SELECT src AS start, 1 AS hops,
+         CAST(src AS VARCHAR) || '->' || CAST(dst AS VARCHAR) AS path_str
+  FROM e WHERE src < 5
+),
+p2 AS (
+  SELECT e1.src AS start, 2 AS hops,
+         CAST(e1.src AS VARCHAR) || '->' || CAST(e1.dst AS VARCHAR) || '->' || CAST(e2.dst AS VARCHAR) AS path_str
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.ts < e2.ts
+  WHERE e1.src < 5
+)
+SELECT start, hops, path_str FROM p1
+UNION ALL
+SELECT start, hops, path_str FROM p2""",
         "e_cosine_pairs": """
 WITH n AS (
   SELECT vec_id, embedding,

@@ -114,6 +114,63 @@ def var_len_expand(
     return out
 
 
+def var_len_expand_paths(
+    frontier: DataFrame,
+    edges: DataFrame,
+    lower: int,
+    upper: int,
+    on: str = "vid",
+    edge_props: Sequence[str] = (),
+    edge_constraint=None,
+) -> DataFrame:
+    """repeat(lower, upper) with path-edge accumulation — the PathEdge
+    analog (/root/reference/reasoner/common/.../PathEdge.java:31-42,
+    KgGraph.getPath; Fold consumes the resulting arrays).
+
+    Returns (start, vid, hops, path) where ``path`` is
+    array<struct<src, dst, *edge_props>> — one row per DISTINCT PATH (no
+    reachability dedup), so bound ``upper`` and prune per-hop.
+
+    ``edge_constraint(prev_edge, new_edge) -> Column`` is applied DURING
+    expansion from hop 2 on (prev = last accumulated path struct, new =
+    candidate edge struct): a monotone-timestamp rule (FinBench trc1,
+    edges().constraint(ts1 < ts2)) prunes the frontier each hop instead
+    of enumerating all paths and filtering after — the difference
+    between O(pruned) and O(fanout^hops) shuffle volume at scale. The
+    surviving arrays feed ``repeat_reduce`` / ``repeat_constraint``
+    (functions.SCALARS) for whole-path predicates.
+    """
+    from pyspark.sql import types as T
+
+    fields = ["src", "dst", *edge_props]
+    st = T.StructType([edges.schema[f] for f in fields])
+    cur = frontier.select(
+        F.col(on).alias("start"),
+        F.col(on).alias("vid"),
+        F.array().cast(T.ArrayType(st)).alias("path"),
+    )
+    out = cur.withColumn("hops", F.lit(0)) if lower == 0 else None
+    for hop in range(1, upper + 1):
+        # fresh per-hop column names: cur derives from edges after hop 1,
+        # so reusing edges' columns directly is an ambiguous self-join
+        e_h = edges.select(*[F.col(f).alias(f"__h{hop}_{f}") for f in fields])
+        new_edge = F.struct(
+            *[F.col(f"__h{hop}_{f}").alias(f) for f in fields]
+        )
+        j = cur.join(e_h, cur["vid"] == F.col(f"__h{hop}_src"))
+        if edge_constraint is not None and hop > 1:
+            j = j.where(edge_constraint(F.element_at(F.col("path"), -1), new_edge))
+        cur = j.select(
+            F.col("start"),
+            F.col(f"__h{hop}_dst").alias("vid"),
+            F.array_append(F.col("path"), new_edge).alias("path"),
+        )
+        if hop >= lower:
+            step = cur.withColumn("hops", F.lit(hop))
+            out = step if out is None else out.unionByName(step)
+    return out
+
+
 # --------------------------------------------------------------------------
 # row ops
 # --------------------------------------------------------------------------

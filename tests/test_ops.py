@@ -182,3 +182,54 @@ def test_accumulate_and_registration(spark):
 
     with pytest.raises(ValueError):
         register_scalar("double_it_test")(double_it)
+
+
+def test_var_len_expand_paths(spark):
+    e = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 20), (2, 4, 5), (1, 3, 30)],
+        "src bigint, dst bigint, ts int",
+    )
+    frontier = spark.createDataFrame([(1,)], "vid bigint")
+    got = ops.var_len_expand_paths(frontier, e, 1, 2, edge_props=["ts"]).collect()
+    paths = {tuple((p["src"], p["dst"]) for p in r["path"]) for r in got}
+    assert paths == {
+        ((1, 2),),
+        ((1, 3),),
+        ((1, 2), (2, 3)),
+        ((1, 2), (2, 4)),
+    }
+    # monotone constraint prunes DURING expansion: 1->2(10)->4(5) dies
+    mono = ops.var_len_expand_paths(
+        frontier, e, 2, 2, edge_props=["ts"],
+        edge_constraint=lambda prev, new: prev["ts"] < new["ts"],
+    ).collect()
+    mono_paths = {tuple((p["src"], p["dst"]) for p in r["path"]) for r in mono}
+    assert mono_paths == {((1, 2), (2, 3))}
+    # lower=0 includes the empty path at hops=0
+    zero = ops.var_len_expand_paths(frontier, e, 0, 1).collect()
+    assert {(r["hops"], len(r["path"])) for r in zero} == {(0, 0), (1, 1), (1, 1)} or any(
+        r["hops"] == 0 and len(r["path"]) == 0 for r in zero
+    )
+
+
+def test_repeat_helpers_over_real_paths(spark):
+    """repeat_reduce / repeat_constraint consume var_len_expand_paths output."""
+    from linkgraph.functions import SCALARS
+
+    e = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 20), (1, 4, 7), (4, 5, 3)],
+        "src bigint, dst bigint, ts int",
+    )
+    frontier = spark.createDataFrame([(1,)], "vid bigint")
+    paths = ops.var_len_expand_paths(frontier, e, 2, 2, edge_props=["ts"])
+    checked = paths.select(
+        SCALARS["repeat_edge_length"](F.col("path")).alias("ln"),
+        SCALARS["repeat_constraint"](
+            F.col("path"), lambda a, b: a["ts"] < b["ts"]
+        ).alias("mono"),
+        SCALARS["repeat_reduce"](
+            F.col("path"), F.lit(0), lambda acc, x: acc + x["ts"]
+        ).alias("ts_sum"),
+    ).collect()
+    by_sum = {r["ts_sum"]: (r["ln"], r["mono"]) for r in checked}
+    assert by_sum == {30: (2, True), 10: (2, False)}
