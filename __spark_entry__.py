@@ -420,6 +420,62 @@ def _g_reach3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pattern-DSL queries (GQL front-end: string -> parse -> plan -> DataFrame)
+# ---------------------------------------------------------------------------
+
+
+def _graph997(spark: SparkSession, sf_dir: str):
+    from linkgraph.gql import PropertyGraph
+
+    e = _edges(spark, sf_dir)
+    v = (
+        e.select(F.col("src").alias("vid"))
+        .union(e.select("dst"))
+        .distinct()
+    )
+    return PropertyGraph({"V": v}, {"E": e})
+
+
+def _p1_gql_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16's FinBench-trc1 shape expressed as a compiled GQL string —
+    the reference's primary lifecycle (DSL -> parse -> plan -> execute,
+    OpenSPGDslParser.scala:86-116)."""
+    from linkgraph.gql import PropertyGraph, compile_query
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 211).alias("src"),
+            (F.col("l_partkey") % 211).alias("dst"),
+            F.col("l_shipdate").alias("ts"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("ts").alias("ts"))
+    )
+    v = e.select(F.col("src").alias("vid")).union(e.select("dst")).distinct()
+    g = PropertyGraph({"V": v}, {"E": e})
+    return compile_query(
+        "MATCH (a)-[e1]->(b)-[e2]->(c) WHERE e1.ts < e2.ts "
+        "RETURN a.vid AS a, count(*) AS n_paths",
+        g,
+    )
+
+
+def _p2_gql_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Var-len pattern through the DSL; the a.vid < 3 conjunct applies
+    BEFORE expansion (planner rule placement), so paths grow from 3
+    seeds, not from every vertex."""
+    from linkgraph.gql import compile_query
+
+    g = _graph997(spark, sf_dir)
+    return compile_query(
+        "MATCH (a)-[e*1..3]->(b) WHERE a.vid < 3 RETURN DISTINCT b.vid AS vid",
+        g,
+    )
+
+
+# ---------------------------------------------------------------------------
 # documents / embeddings (training-data pipeline ops)
 # ---------------------------------------------------------------------------
 
@@ -544,6 +600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_lpa4": _g_lpa4,
         "g_triangles": _g_triangles,
         "g_reach3": _g_reach3,
+        "p1_gql_monotone": _p1_gql_monotone,
+        "p2_gql_varlen": _p2_gql_varlen,
         "d_exact_dedup": _d_exact_dedup,
         "d_text_stats": _d_text_stats,
         "d_word_topk": _d_word_topk,
@@ -1056,6 +1114,23 @@ WHERE ROUND(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DO
 WITH edges AS ({EDGES_SQL})
 SELECT src AS vid, COUNT(*) AS out_degree FROM edges GROUP BY src
 ORDER BY out_degree DESC, vid ASC LIMIT 10""",
+        "p1_gql_monotone": """
+WITH e AS (
+  SELECT l_orderkey % 211 AS src, l_partkey % 211 AS dst, MIN(l_shipdate) AS ts
+  FROM lineitem WHERE l_orderkey % 211 <> l_partkey % 211
+  GROUP BY 1, 2
+)
+SELECT e1.src AS a, COUNT(*) AS n_paths
+FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.ts < e2.ts
+GROUP BY e1.src""",
+        "p2_gql_varlen": f"""
+WITH edges AS ({EDGES_SQL}),
+verts AS ({VERTS_SQL}),
+seeds AS (SELECT vid FROM verts WHERE vid < 3),
+h1 AS (SELECT DISTINCT e.dst AS vid FROM seeds s JOIN edges e ON e.src = s.vid),
+h2 AS (SELECT DISTINCT e.dst AS vid FROM h1 JOIN edges e ON e.src = h1.vid),
+h3 AS (SELECT DISTINCT e.dst AS vid FROM h2 JOIN edges e ON e.src = h2.vid)
+SELECT vid FROM h1 UNION SELECT vid FROM h2 UNION SELECT vid FROM h3""",
         "g_pagerank5": _pagerank_sql(5),
         "g_cc8": _cc_sql(8),
         "g_cc_conv": _cc_conv_sql(),

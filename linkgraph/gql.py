@@ -1,0 +1,625 @@
+"""GQL-style pattern-query front-end: MATCH/WHERE/RETURN strings
+compiled onto the DataFrame operator layer.
+
+Reference parity (the reference's primary entry point is a DSL string):
+  grammar    /root/reference/reasoner/kgdsl-parser/src/main/antlr4/com/antgroup/openspg/reasoner/KGDSL.g4
+             (GQL MATCH subset; golden shapes mirror OpenSPGDslParserTest.scala:60-106)
+  lifecycle  OpenSPGDslParser.scala:86-116 (parse -> blocks -> plan)
+  planning   PatternMatchPlanner.scala:231-343 — root selection by max
+             pattern degree, then PatternScan + ExpandInto traversal;
+             BoundedVarLenExpand unrolled per hop.
+
+Supported surface:
+
+    MATCH (a:Label)-[e:TYPE]->(b), (b)<-[f:TYPE2]-(c),
+          (a)-[g:TYPE*1..3]->(d)
+    WHERE a.prop = 5 AND e.ts < f.ts AND NOT b.flag <> 'x'
+    RETURN [DISTINCT] a.prop AS x, count(*) AS n, e.ts AS t
+    ORDER BY n DESC, x ASC
+    LIMIT 10
+
+Aggregates in RETURN trigger implicit grouping by the non-aggregate
+items (GQL semantics). Everything lowers to plain DataFrame joins /
+groupBy — single-alias WHERE conjuncts reach the scans via Catalyst's
+own predicate pushdown (filters are applied once on the joined binding
+table; `.explain` shows them pushed below the joins), so the planner
+here only chooses the traversal order, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.ops import var_len_expand_paths
+
+# ---------------------------------------------------------------------------
+# graph container
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PropertyGraph:
+    """Property-graph view over DataFrames.
+
+    vertices: label -> DF with a ``vid`` column (+ property columns)
+    edges:    rel type -> DF with ``src``/``dst`` columns (+ properties)
+    A node/edge pattern without a label/type resolves to the sole table
+    if there is exactly one, else raises.
+    """
+
+    vertices: dict[str, DataFrame]
+    edges: dict[str, DataFrame]
+
+    def vertex_table(self, label: str | None) -> DataFrame:
+        if label is not None:
+            return self.vertices[label]
+        if len(self.vertices) != 1:
+            raise ValueError("unlabeled node but multiple vertex tables")
+        return next(iter(self.vertices.values()))
+
+    def edge_table(self, rel: str | None) -> DataFrame:
+        if rel is not None:
+            return self.edges[rel]
+        if len(self.edges) != 1:
+            raise ValueError("untyped edge but multiple edge tables")
+        return next(iter(self.edges.values()))
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class NodePat:
+    alias: str
+    label: str | None = None
+
+
+@dataclass(frozen=True)
+class EdgePat:
+    """Direction-normalized at parse time: (a)<-[e]-(b) parses as
+    EdgePat(src='b', dst='a') — traversal always follows src->dst."""
+
+    src: str
+    dst: str
+    alias: str | None = None
+    rel: str | None = None
+    lower: int | None = None  # var-len bounds; None = single edge
+    upper: int | None = None
+
+    @property
+    def is_varlen(self) -> bool:
+        return self.lower is not None
+
+
+@dataclass
+class Query:
+    nodes: dict[str, NodePat] = field(default_factory=dict)
+    edges: list[EdgePat] = field(default_factory=list)
+    where: tuple | None = None
+    returns: list[tuple] = field(default_factory=list)  # (expr, out_name)
+    distinct: bool = False
+    order_by: list[tuple] = field(default_factory=list)  # (name_or_expr, asc)
+    limit: int | None = None
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<num>\d+(?:\.\d+)?)
+    | (?P<str>'[^']*')
+    | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op><-|->|<>|<=|>=|\.\.|[()\[\],:\-.*<>=+/%])
+    )""",
+    re.X,
+)
+
+_KEYWORDS = {
+    "match", "where", "return", "as", "order", "by", "limit",
+    "distinct", "and", "or", "not", "asc", "desc", "group",
+}
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == pos:
+            if text[pos:].strip():
+                raise SyntaxError(f"cannot tokenize at: {text[pos:pos + 20]!r}")
+            break
+        pos = m.end()
+        if m.lastgroup == "num":
+            out.append(("num", m.group("num")))
+        elif m.lastgroup == "str":
+            out.append(("str", m.group("str")[1:-1]))
+        elif m.lastgroup == "name":
+            name = m.group("name")
+            if name.lower() in _KEYWORDS:
+                out.append(("kw", name.lower()))
+            else:
+                out.append(("name", name))
+        else:
+            out.append(("op", m.group("op")))
+    out.append(("eof", ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parser (recursive descent)
+# ---------------------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind, val=None):
+        t = self.next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise SyntaxError(f"expected {val or kind}, got {t}")
+        return t
+
+    def accept(self, kind, val=None) -> bool:
+        t = self.peek()
+        if t[0] == kind and (val is None or t[1] == val):
+            self.i += 1
+            return True
+        return False
+
+    # ---- query --------------------------------------------------------
+    def parse(self) -> Query:
+        q = Query()
+        self.expect("kw", "match")
+        self._pattern_chain(q)
+        while self.accept("op", ","):
+            self._pattern_chain(q)
+        if self.accept("kw", "where"):
+            q.where = self._expr()
+        self.expect("kw", "return")
+        q.distinct = self.accept("kw", "distinct")
+        q.returns.append(self._return_item())
+        while self.accept("op", ","):
+            q.returns.append(self._return_item())
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            q.order_by.append(self._order_item())
+            while self.accept("op", ","):
+                q.order_by.append(self._order_item())
+        if self.accept("kw", "limit"):
+            q.limit = int(self.expect("num")[1])
+        self.expect("eof")
+        return q
+
+    # ---- patterns ------------------------------------------------------
+    def _pattern_chain(self, q: Query):
+        left = self._node(q)
+        while self.peek() in (("op", "-"), ("op", "<-")):
+            back = self.next()[1] == "<-"
+            alias = rel = None
+            lower = upper = None
+            if self.accept("op", "["):
+                if self.peek()[0] == "name":
+                    alias = self.next()[1]
+                if self.accept("op", ":"):
+                    rel = self.expect("name")[1]
+                if self.accept("op", "*"):
+                    lower = int(self.expect("num")[1])
+                    self.expect("op", "..")
+                    upper = int(self.expect("num")[1])
+                self.expect("op", "]")
+            if back:
+                self.expect("op", "-")
+            else:
+                self.expect("op", "->")
+            right = self._node(q)
+            src, dst = (right, left) if back else (left, right)
+            q.edges.append(EdgePat(src, dst, alias, rel, lower, upper))
+            left = right
+
+    def _node(self, q: Query) -> str:
+        self.expect("op", "(")
+        alias = self.expect("name")[1]
+        label = None
+        if self.accept("op", ":"):
+            label = self.expect("name")[1]
+        self.expect("op", ")")
+        prev = q.nodes.get(alias)
+        if prev is not None and label is not None and prev.label not in (None, label):
+            raise SyntaxError(f"alias {alias} bound to two labels")
+        if prev is None or (prev.label is None and label is not None):
+            q.nodes[alias] = NodePat(alias, label)
+        return alias
+
+    # ---- expressions ----------------------------------------------------
+    def _return_item(self):
+        e = self._expr()
+        name = None
+        if self.accept("kw", "as"):
+            name = self.expect("name")[1]
+        elif e[0] == "ref":
+            name = f"{e[1]}_{e[2]}" if e[2] else e[1]
+        else:
+            raise SyntaxError("non-trivial RETURN item needs AS <name>")
+        return (e, name)
+
+    def _order_item(self):
+        e = self._expr()
+        asc = True
+        if self.accept("kw", "desc"):
+            asc = False
+        else:
+            self.accept("kw", "asc")
+        return (e, asc)
+
+    def _expr(self):
+        return self._or()
+
+    def _or(self):
+        left = self._and()
+        while self.accept("kw", "or"):
+            left = ("bin", "or", left, self._and())
+        return left
+
+    def _and(self):
+        left = self._not()
+        while self.accept("kw", "and"):
+            left = ("bin", "and", left, self._not())
+        return left
+
+    def _not(self):
+        if self.accept("kw", "not"):
+            return ("not", self._not())
+        return self._cmp()
+
+    def _cmp(self):
+        left = self._add()
+        t = self.peek()
+        if t[0] == "op" and t[1] in ("=", "<>", "<", "<=", ">", ">="):
+            self.next()
+            return ("bin", t[1], left, self._add())
+        return left
+
+    def _add(self):
+        left = self._mul()
+        while True:
+            t = self.peek()
+            if t[0] == "op" and t[1] in ("+", "-"):
+                self.next()
+                left = ("bin", t[1], left, self._mul())
+            else:
+                return left
+
+    def _mul(self):
+        left = self._primary()
+        while True:
+            t = self.peek()
+            if t[0] == "op" and t[1] in ("*", "/", "%"):
+                self.next()
+                left = ("bin", t[1], left, self._primary())
+            else:
+                return left
+
+    def _primary(self):
+        t = self.next()
+        if t == ("op", "-"):  # unary minus
+            return ("bin", "-", ("lit", 0), self._primary())
+        if t[0] == "num":
+            return ("lit", float(t[1]) if "." in t[1] else int(t[1]))
+        if t[0] == "str":
+            return ("lit", t[1])
+        if t == ("op", "("):
+            e = self._expr()
+            self.expect("op", ")")
+            return e
+        if t == ("op", "*"):
+            return ("star",)
+        if t[0] == "name":
+            if self.peek() == ("op", "("):  # function call
+                self.next()
+                args = []
+                if self.peek() != ("op", ")"):
+                    args.append(self._expr())
+                    while self.accept("op", ","):
+                        args.append(self._expr())
+                self.expect("op", ")")
+                return ("func", t[1].lower(), args)
+            if self.accept("op", "."):
+                prop = self.expect("name")[1]
+                return ("ref", t[1], prop)
+            return ("ref", t[1], None)  # bare alias -> its vid
+        raise SyntaxError(f"unexpected token {t}")
+
+
+def parse(text: str) -> Query:
+    """Parse a GQL MATCH string into the Query AST (golden-test surface,
+    mirroring OpenSPGDslParserTest)."""
+    return _Parser(text).parse()
+
+
+# ---------------------------------------------------------------------------
+# compiler / planner
+# ---------------------------------------------------------------------------
+
+_AGG_FUNCS = {
+    "count", "sum", "avg", "min", "max", "count_distinct", "collect_list",
+    "concat_agg", "accumulate",
+}
+
+
+def _contains_agg(e) -> bool:
+    if e[0] == "func" and e[1] in _AGG_FUNCS:
+        return True
+    if e[0] == "bin":
+        return _contains_agg(e[2]) or _contains_agg(e[3])
+    if e[0] == "not":
+        return _contains_agg(e[1])
+    if e[0] == "func":
+        return any(_contains_agg(a) for a in e[2])
+    return False
+
+
+_BIN_OPS = {
+    "=": lambda a, b: a == b,
+    "<>": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "and": lambda a, b: a & b,
+    "or": lambda a, b: a | b,
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "%": lambda a, b: a % b,
+}
+
+
+def _compile_expr(e, cols: set[str]) -> Column:
+    """AST -> Column over the binding table's {alias}__{prop} columns."""
+    kind = e[0]
+    if kind == "lit":
+        return F.lit(e[1])
+    if kind == "ref":
+        alias, prop = e[1], e[2]
+        col = f"{alias}__{prop}" if prop else f"{alias}__vid"
+        if col not in cols:
+            raise ValueError(f"unknown reference {alias}.{prop or 'vid'}")
+        return F.col(col)
+    if kind == "bin":
+        return _BIN_OPS[e[1]](_compile_expr(e[2], cols), _compile_expr(e[3], cols))
+    if kind == "not":
+        return ~_compile_expr(e[1], cols)
+    if kind == "func":
+        name, args = e[1], e[2]
+        if name == "count" and len(args) == 1 and args[0] == ("star",):
+            return F.count(F.lit(1))
+        from linkgraph.functions import AGGREGATES, SCALARS
+
+        fn = AGGREGATES.get(name) if name in _AGG_FUNCS else SCALARS.get(name)
+        if fn is None:
+            raise ValueError(f"unknown function {name}")
+        return fn(*[_compile_expr(a, cols) for a in args])
+    raise ValueError(f"cannot compile {e}")
+
+
+def _conjuncts(e) -> list:
+    if e[0] == "bin" and e[1] == "and":
+        return _conjuncts(e[2]) + _conjuncts(e[3])
+    return [e]
+
+
+def _expr_refs(e, out: set[str]) -> set[str]:
+    if e[0] == "ref":
+        out.add(f"{e[1]}__{e[2]}" if e[2] else f"{e[1]}__vid")
+    elif e[0] == "bin":
+        _expr_refs(e[2], out)
+        _expr_refs(e[3], out)
+    elif e[0] == "not":
+        _expr_refs(e[1], out)
+    elif e[0] == "func":
+        for a in e[2]:
+            _expr_refs(a, out)
+    return out
+
+
+def _max_degree_root(q: Query) -> str:
+    """PatternMatchPlanner.getMaxDegree analog: the alias incident to the
+    most pattern connections (ties -> lexicographically smallest for
+    determinism); patterns without edges start at the first node."""
+    deg: dict[str, int] = {}
+    for e in q.edges:
+        deg[e.src] = deg.get(e.src, 0) + 1
+        deg[e.dst] = deg.get(e.dst, 0) + 1
+    if not deg:
+        return next(iter(q.nodes))
+    return max(sorted(deg), key=lambda a: deg[a])
+
+
+def _bind_vertex(df: DataFrame | None, alias: str, q: Query, graph: PropertyGraph,
+                 join_col: str | None = None) -> DataFrame:
+    """Join alias's vertex table into the binding table (PatternScan when
+    df is None, the vertex half of ExpandInto otherwise)."""
+    label = q.nodes[alias].label
+    vt = graph.vertex_table(label)
+    renamed = vt.select(
+        *[F.col(c).alias(f"{alias}__{c}") for c in vt.columns]
+    )
+    if df is None:
+        return renamed
+    assert join_col is not None
+    out = df.join(renamed, F.col(join_col) == F.col(f"{alias}__vid")).drop(join_col)
+    return out
+
+
+def compile_query(q: Query | str, graph: PropertyGraph, root: str | None = None) -> DataFrame:
+    """Lower a parsed Query (or GQL string) to a DataFrame.
+
+    Traversal: start at ``root`` (explicit, the START_ALIAS analog) or
+    the max-degree alias; repeatedly take a pattern edge with a bound
+    endpoint — both-bound edges first (ExpandInto prunes before growing)
+    — and join it in. Disconnected components cross-join (their sizes
+    multiply; same as any product pattern). WHERE applies once on the
+    binding table and Catalyst pushes single-alias conjuncts below the
+    joins; aggregates in RETURN group by the non-aggregate items.
+    """
+    if isinstance(q, str):
+        q = parse(q)
+    if not q.nodes:
+        raise ValueError("empty pattern")
+    root = root or _max_degree_root(q)
+
+    # WHERE decomposes into AND-conjuncts applied as soon as their
+    # referenced columns are bound (the reference planner's rule
+    # placement): a var-len expansion then grows from an already-filtered
+    # frontier instead of enumerating paths from every vertex — the
+    # difference between O(seeds·fanout^k) and O(|V|·fanout^k).
+    remaining = _conjuncts(q.where) if q.where is not None else []
+
+    def _apply_ready(df: DataFrame) -> DataFrame:
+        nonlocal remaining
+        cols = set(df.columns)
+        ready = [c for c in remaining if _expr_refs(c, set()) <= cols]
+        if ready:
+            remaining = [c for c in remaining if c not in ready]
+            for c in ready:
+                df = df.where(_compile_expr(c, cols))
+        return df
+
+    df = _apply_ready(_bind_vertex(None, root, q, graph))
+    bound = {root}
+    pending = list(q.edges)
+    ecount = 0
+    while pending:
+        # prefer edges with BOTH endpoints bound (pure intersection —
+        # ExpandInto), else any edge touching the bound set
+        pick = next((e for e in pending if e.src in bound and e.dst in bound), None)
+        if pick is None:
+            pick = next((e for e in pending if e.src in bound or e.dst in bound), None)
+        if pick is None:  # disconnected component: cross join its start
+            nxt = next(a for a in q.nodes if a not in bound)
+            df = _apply_ready(df.crossJoin(_bind_vertex(None, nxt, q, graph)))
+            bound.add(nxt)
+            continue
+        pending.remove(pick)
+        ecount += 1
+        df = _apply_ready(_join_edge(df, pick, q, graph, bound, ecount))
+    cols = set(df.columns)
+
+    for c in remaining:  # conjuncts referencing unknown columns -> error here
+        df = df.where(_compile_expr(c, cols))
+
+    items = [(ex, name, _contains_agg(ex)) for ex, name in q.returns]
+    if any(agg for _, _, agg in items):
+        keys = [
+            _compile_expr(ex, cols).alias(name) for ex, name, agg in items if not agg
+        ]
+        aggs = [
+            _compile_expr(ex, cols).alias(name) for ex, name, agg in items if agg
+        ]
+        out = df.groupBy(*keys).agg(*aggs)
+        # restore declared column order
+        out = out.select(*[name for _, name, _ in items])
+    else:
+        out = df.select(
+            *[_compile_expr(ex, cols).alias(name) for ex, name, _ in items]
+        )
+        if q.distinct:
+            out = out.dropDuplicates()
+
+    if q.order_by:
+        out_cols = set(out.columns)
+        keys = []
+        for ex, asc in q.order_by:
+            if ex[0] == "ref" and ex[2] is None and ex[1] in out_cols:
+                c = F.col(ex[1])  # output-column reference
+            else:
+                c = _compile_expr(ex, out_cols)
+            keys.append(c.asc() if asc else c.desc())
+        out = out.orderBy(*keys)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
+def _join_edge(
+    df: DataFrame,
+    e: EdgePat,
+    q: Query,
+    graph: PropertyGraph,
+    bound: set[str],
+    n: int,
+) -> DataFrame:
+    edf = graph.edge_table(e.rel)
+    if e.is_varlen:
+        if e.src not in bound:
+            # traverse from the bound side; a dst-bound var-len would
+            # need reversed edges — normalize patterns so src binds first
+            raise ValueError("var-len edge requires its source bound first")
+        frontier = df.select(F.col(f"{e.src}__vid").alias("vid")).distinct()
+        props = [c for c in edf.columns if c not in ("src", "dst")]
+        paths = var_len_expand_paths(
+            frontier, edf, e.lower, e.upper, edge_props=props
+        )
+        psel = [
+            F.col("start").alias("__start__"),
+            F.col("vid").alias("__end__"),
+        ]
+        if e.alias:
+            psel += [
+                F.col("hops").alias(f"{e.alias}__hops"),
+                F.col("path").alias(f"{e.alias}__path"),
+            ]
+        p = paths.select(*psel)
+        out = df.join(p, F.col(f"{e.src}__vid") == F.col("__start__")).drop(
+            "__start__"
+        )
+        if e.dst in bound:
+            out = out.where(F.col(f"{e.dst}__vid") == F.col("__end__")).drop("__end__")
+        else:
+            out = _bind_vertex(out, e.dst, q, graph, "__end__")
+            bound.add(e.dst)
+        return out
+
+    srcc, dstc = f"__s{n}__", f"__d{n}__"
+    sel = [F.col("src").alias(srcc), F.col("dst").alias(dstc)]
+    if e.alias:
+        sel += [
+            F.col(c).alias(f"{e.alias}__{c}")
+            for c in edf.columns
+            if c not in ("src", "dst")
+        ]
+    e2 = edf.select(*sel)
+    cond = None
+    if e.src in bound:
+        cond = F.col(f"{e.src}__vid") == F.col(srcc)
+    if e.dst in bound:
+        c2 = F.col(f"{e.dst}__vid") == F.col(dstc)
+        cond = c2 if cond is None else (cond & c2)
+    out = df.join(e2, cond)
+    for alias, col in ((e.src, srcc), (e.dst, dstc)):
+        if alias not in bound:
+            out = _bind_vertex(out, alias, q, graph, col)
+            bound.add(alias)
+        else:
+            out = out.drop(col)
+    return out
