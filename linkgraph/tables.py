@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,9 +81,29 @@ class TableStore:
         else:
             df.write.mode("append").parquet(self._path(name))
 
+    def _acquire_lock(self, path: str, timeout_s: float = 120.0) -> str:
+        """Atomic mkdir mutex — serializes read-merge-swap so concurrent
+        upserts can't lose updates (Iceberg gets this from optimistic
+        snapshot commits; the parquet emulation needs an explicit fence:
+        two unlocked writers would both read the same base and the
+        second swap would silently drop the first's rows)."""
+        lock = path + ".lock"
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                os.makedirs(os.path.dirname(lock), exist_ok=True)
+                os.mkdir(lock)
+                return lock
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"upsert lock busy: {lock}")
+                time.sleep(0.05)
+
     def upsert(self, name: str, df: DataFrame, key: str) -> None:
-        """MERGE INTO by key. Iceberg: native MERGE. Parquet: anti-join +
-        union, written to a temp dir and atomically swapped in."""
+        """MERGE INTO by key. Iceberg: native MERGE (optimistic snapshot
+        commit). Parquet: anti-join + union under a lock, written to a
+        temp dir and atomically swapped in — concurrent writers
+        serialize, each merging onto the other's committed result."""
         if self.iceberg:
             df.createOrReplaceTempView("__upsert_src__")
             self.spark.sql(
@@ -92,14 +113,18 @@ class TableStore:
             )
             return
         path = self._path(name)
-        if not os.path.exists(path):
-            df.write.parquet(path)
-            return
-        current = self.spark.read.parquet(path)
-        merged = current.join(df.select(key), key, "left_anti").unionByName(df)
-        tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
-        merged.write.parquet(tmp)
-        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        lock = self._acquire_lock(path)
+        try:
+            if not os.path.exists(path):
+                df.write.parquet(path)
+                return
+            current = self.spark.read.parquet(path)
+            merged = current.join(df.select(key), key, "left_anti").unionByName(df)
+            tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+            merged.write.parquet(tmp)
+            old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+        finally:
+            os.rmdir(lock)
