@@ -475,6 +475,36 @@ def _p2_gql_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t1_thinker_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thinker-lite rule closure (Thinker.java:21-28): transitive 'reach'
+    saturated by semi-naive datalog, checked against a recursive CTE."""
+    from linkgraph.thinker import find, infer, parse_rule
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 211).alias("src"),
+            (F.col("l_partkey") % 211).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    triples = e.select(
+        F.col("src").cast("string").alias("s"),
+        F.lit("link").alias("p"),
+        F.col("dst").cast("string").alias("o"),
+    )
+    rules = [
+        parse_rule("(?x, reach, ?y) <- (?x, link, ?y)"),
+        parse_rule("(?x, reach, ?z) <- (?x, link, ?y), (?y, reach, ?z)"),
+    ]
+    closure = infer(triples, rules, max_iter=30)
+    reach = find(closure, p="reach")
+    return reach.groupBy(F.col("s").cast("bigint").alias("src")).agg(
+        F.count(F.lit(1)).alias("n_reach")
+    )
+
+
 # ---------------------------------------------------------------------------
 # documents / embeddings (training-data pipeline ops)
 # ---------------------------------------------------------------------------
@@ -602,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_reach3": _g_reach3,
         "p1_gql_monotone": _p1_gql_monotone,
         "p2_gql_varlen": _p2_gql_varlen,
+        "t1_thinker_reach": _t1_thinker_reach,
         "d_exact_dedup": _d_exact_dedup,
         "d_text_stats": _d_text_stats,
         "d_word_topk": _d_word_topk,
@@ -1131,6 +1162,17 @@ h1 AS (SELECT DISTINCT e.dst AS vid FROM seeds s JOIN edges e ON e.src = s.vid),
 h2 AS (SELECT DISTINCT e.dst AS vid FROM h1 JOIN edges e ON e.src = h1.vid),
 h3 AS (SELECT DISTINCT e.dst AS vid FROM h2 JOIN edges e ON e.src = h2.vid)
 SELECT vid FROM h1 UNION SELECT vid FROM h2 UNION SELECT vid FROM h3""",
+        "t1_thinker_reach": """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_orderkey % 211 AS src, l_partkey % 211 AS dst
+  FROM lineitem WHERE l_orderkey % 211 <> l_partkey % 211
+),
+reach(s, o) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT e.src, reach.o FROM e JOIN reach ON e.dst = reach.s
+)
+SELECT s AS src, COUNT(*) AS n_reach FROM reach GROUP BY s""",
         "g_pagerank5": _pagerank_sql(5),
         "g_cc8": _cc_sql(8),
         "g_cc_conv": _cc_conv_sql(),
