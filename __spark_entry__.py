@@ -475,6 +475,33 @@ def _p2_gql_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c1_concept_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConceptEdgeExpand parity: parts tagged with a brand concept
+    generalize up the Brand#NN -> Brand#N -> Brand taxonomy."""
+    from linkgraph.concepts import concept_edge_expand
+
+    part = load_table(spark, sf_dir, "part")
+    bt = part.select(
+        F.col("p_partkey").alias("entity"), F.col("p_brand").alias("concept")
+    )
+    brands = part.select("p_brand").distinct()
+    isa = (
+        brands.select(
+            F.col("p_brand").alias("child"),
+            F.substring("p_brand", 1, 7).alias("parent"),
+        )
+        .union(
+            brands.select(
+                F.substring("p_brand", 1, 7).alias("child"),
+                F.lit("Brand").alias("parent"),
+            )
+        )
+        .where(F.col("child") != F.col("parent"))
+        .distinct()
+    )
+    return concept_edge_expand(bt, isa)
+
+
 def _t1_thinker_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thinker-lite rule closure (Thinker.java:21-28): transitive 'reach'
     saturated by semi-naive datalog, checked against a recursive CTE."""
@@ -633,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_gql_monotone": _p1_gql_monotone,
         "p2_gql_varlen": _p2_gql_varlen,
         "t1_thinker_reach": _t1_thinker_reach,
+        "c1_concept_expand": _c1_concept_expand,
         "d_exact_dedup": _d_exact_dedup,
         "d_text_stats": _d_text_stats,
         "d_word_topk": _d_word_topk,
@@ -1173,6 +1201,14 @@ reach(s, o) AS (
   SELECT e.src, reach.o FROM e JOIN reach ON e.dst = reach.s
 )
 SELECT s AS src, COUNT(*) AS n_reach FROM reach GROUP BY s""",
+        "c1_concept_expand": """
+SELECT entity, concept FROM (
+  SELECT p_partkey AS entity, p_brand AS concept FROM part
+  UNION
+  SELECT p_partkey, substring(p_brand, 1, 7) FROM part
+  UNION
+  SELECT p_partkey, 'Brand' FROM part
+) t""",
         "g_pagerank5": _pagerank_sql(5),
         "g_cc8": _cc_sql(8),
         "g_cc_conv": _cc_conv_sql(),
