@@ -118,6 +118,36 @@ def register_scalar(name: str, *, replace: bool = False):
     return deco
 
 
+UDTFS: dict[str, Callable[..., Column]] = {
+    # built-ins: each returns an ARRAY column; one output row per element
+    # (BaseUdtf.process emitting N rows == an N-element array + explode)
+    "split_to_rows": lambda c, sep=r"\s+": F.split(F.trim(c), sep),
+    "ngram_rows": lambda c, n=2: F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size(F.split(F.trim(c), r"\s+")) - F.lit(n - 1), F.lit(1)),
+        ),
+        lambda i: F.array_join(F.slice(F.split(F.trim(c), r"\s+"), i, n), " "),
+    ),
+}
+
+
+def register_udtf(name: str, *, replace: bool = False):
+    """Decorator: register a table function (the @UdfDefine UDTF analog,
+    BaseUdtf/LinkedUdtfResult). The callable builds an ARRAY Column —
+    each element becomes one output row when ops.linked_expand explodes
+    it JVM-side; an empty array drops the row (matching a UDTF whose
+    process() emits nothing)."""
+
+    def deco(fn: Callable[..., Column]) -> Callable[..., Column]:
+        if name in UDTFS and not replace:
+            raise ValueError(f"udtf {name!r} already registered")
+        UDTFS[name] = fn
+        return fn
+
+    return deco
+
+
 def register_agg(name: str, *, replace: bool = False):
     """Decorator: register a named aggregate (must be a mergeable
     Spark aggregate expression — partial/final capable, like the

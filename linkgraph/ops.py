@@ -339,6 +339,23 @@ def cache(df: DataFrame) -> DataFrame:
     return df.persist()
 
 
+def linked_expand(df: DataFrame, udtf_name: str, *args, out: str = "linked") -> DataFrame:
+    """LinkedExpand: grow the pattern along DERIVED edges computed by a
+    registered UDTF instead of a stored edge table
+    (LinkedPatternConnection -> LinkedExpand,
+    /root/reference/reasoner/lube-logical/.../PatternMatchPlanner.scala:269-277;
+    UDTF contract /root/reference/reasoner/udf/.../model/BaseUdtf.java).
+
+    The UDTF builds an array column from ``args``; explode stays
+    JVM-side, one output row per element, rows with empty arrays drop
+    (a UDTF that emits nothing). The Arrow-batched extraction pipeline
+    (extract.extracted_edges) is the mapInPandas instance of the same
+    shape for kernels that genuinely need Python."""
+    from linkgraph.functions import UDTFS
+
+    return df.withColumn(out, F.explode(UDTFS[udtf_name](*args)))
+
+
 # --------------------------------------------------------------------------
 # temporal / multi-version (KTMultiVersion analog,
 # /root/reference/reasoner/lube-api/src/main/scala/.../KgType.scala:72;

@@ -233,3 +233,31 @@ def test_repeat_helpers_over_real_paths(spark):
     ).collect()
     by_sum = {r["ts_sum"]: (r["ln"], r["mono"]) for r in checked}
     assert by_sum == {30: (2, True), 10: (2, False)}
+
+
+def test_linked_expand_with_registered_udtf(spark):
+    """Derived edges from a UDTF — no stored edge table (LinkedExpand)."""
+    from linkgraph.functions import UDTFS, register_udtf
+
+    if "neighbors_pm1" not in UDTFS:
+
+        @register_udtf("neighbors_pm1")
+        def neighbors_pm1(vid):  # derived edges vid -> vid±1
+            return F.array(vid - 1, vid + 1)
+
+    df = spark.createDataFrame([(5,), (9,)], "vid bigint")
+    got = {
+        (r["vid"], r["linked"])
+        for r in ops.linked_expand(df, "neighbors_pm1", F.col("vid")).collect()
+    }
+    assert got == {(5, 4), (5, 6), (9, 8), (9, 10)}
+
+
+def test_builtin_udtfs(spark):
+    from linkgraph.functions import UDTFS
+
+    df = spark.createDataFrame([("the quick brown fox",)], "s string")
+    words = {r["w"] for r in df.select(F.explode(UDTFS["split_to_rows"](F.col("s"))).alias("w")).collect()}
+    assert words == {"the", "quick", "brown", "fox"}
+    grams = [r["g"] for r in df.select(F.explode(UDTFS["ngram_rows"](F.col("s"), 2)).alias("g")).collect()]
+    assert grams == ["the quick", "quick brown", "brown fox"]
