@@ -475,6 +475,18 @@ def _p2_gql_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _p3_gql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL MATCH through the DSL -> left outer + null-skipping count."""
+    from linkgraph.gql import compile_query
+
+    g = _graph997(spark, sf_dir)
+    return compile_query(
+        "MATCH (a) OPTIONAL MATCH (a)-[e]->(b) "
+        "RETURN a.vid AS vid, count(b.vid) AS n_out",
+        g,
+    )
+
+
 def _c1_concept_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConceptEdgeExpand parity: parts tagged with a brand concept
     generalize up the Brand#NN -> Brand#N -> Brand taxonomy."""
@@ -659,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_reach3": _g_reach3,
         "p1_gql_monotone": _p1_gql_monotone,
         "p2_gql_varlen": _p2_gql_varlen,
+        "p3_gql_optional": _p3_gql_optional,
         "t1_thinker_reach": _t1_thinker_reach,
         "c1_concept_expand": _c1_concept_expand,
         "d_exact_dedup": _d_exact_dedup,
@@ -1190,6 +1203,12 @@ h1 AS (SELECT DISTINCT e.dst AS vid FROM seeds s JOIN edges e ON e.src = s.vid),
 h2 AS (SELECT DISTINCT e.dst AS vid FROM h1 JOIN edges e ON e.src = h1.vid),
 h3 AS (SELECT DISTINCT e.dst AS vid FROM h2 JOIN edges e ON e.src = h2.vid)
 SELECT vid FROM h1 UNION SELECT vid FROM h2 UNION SELECT vid FROM h3""",
+        "p3_gql_optional": f"""
+WITH edges AS ({EDGES_SQL}),
+verts AS ({VERTS_SQL})
+SELECT v.vid, COUNT(e.dst) AS n_out
+FROM verts v LEFT JOIN edges e ON e.src = v.vid
+GROUP BY v.vid""",
         "t1_thinker_reach": """
 WITH RECURSIVE e AS (
   SELECT DISTINCT l_orderkey % 211 AS src, l_partkey % 211 AS dst

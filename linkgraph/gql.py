@@ -106,6 +106,7 @@ class Query:
     distinct: bool = False
     order_by: list[tuple] = field(default_factory=list)  # (name_or_expr, asc)
     limit: int | None = None
+    optionals: list["Query"] = field(default_factory=list)  # OPTIONAL MATCH clauses
 
 
 # ---------------------------------------------------------------------------
@@ -124,7 +125,7 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = {
     "match", "where", "return", "as", "order", "by", "limit",
-    "distinct", "and", "or", "not", "asc", "desc", "group",
+    "distinct", "and", "or", "not", "asc", "desc", "group", "optional",
 }
 
 
@@ -194,6 +195,15 @@ class _Parser:
             self._pattern_chain(q)
         if self.accept("kw", "where"):
             q.where = self._expr()
+        while self.accept("kw", "optional"):
+            self.expect("kw", "match")
+            sub = Query()
+            self._pattern_chain(sub)
+            while self.accept("op", ","):
+                self._pattern_chain(sub)
+            if self.accept("kw", "where"):
+                sub.where = self._expr()
+            q.optionals.append(sub)
         self.expect("kw", "return")
         q.distinct = self.accept("kw", "distinct")
         q.returns.append(self._return_item())
@@ -471,28 +481,20 @@ def _bind_vertex(df: DataFrame | None, alias: str, q: Query, graph: PropertyGrap
     return out
 
 
-def compile_query(q: Query | str, graph: PropertyGraph, root: str | None = None) -> DataFrame:
-    """Lower a parsed Query (or GQL string) to a DataFrame.
-
-    Traversal: start at ``root`` (explicit, the START_ALIAS analog) or
+def _traverse(q: Query, graph: PropertyGraph, root: str | None = None) -> DataFrame:
+    """Traversal: start at ``root`` (explicit, the START_ALIAS analog) or
     the max-degree alias; repeatedly take a pattern edge with a bound
     endpoint — both-bound edges first (ExpandInto prunes before growing)
     — and join it in. Disconnected components cross-join (their sizes
-    multiply; same as any product pattern). WHERE applies once on the
-    binding table and Catalyst pushes single-alias conjuncts below the
-    joins; aggregates in RETURN group by the non-aggregate items.
-    """
-    if isinstance(q, str):
-        q = parse(q)
-    if not q.nodes:
-        raise ValueError("empty pattern")
-    root = root or _max_degree_root(q)
+    multiply; same as any product pattern).
 
-    # WHERE decomposes into AND-conjuncts applied as soon as their
-    # referenced columns are bound (the reference planner's rule
-    # placement): a var-len expansion then grows from an already-filtered
-    # frontier instead of enumerating paths from every vertex — the
-    # difference between O(seeds·fanout^k) and O(|V|·fanout^k).
+    WHERE decomposes into AND-conjuncts applied as soon as their
+    referenced columns are bound (the reference planner's rule
+    placement): a var-len expansion then grows from an already-filtered
+    frontier instead of enumerating paths from every vertex — the
+    difference between O(seeds·fanout^k) and O(|V|·fanout^k).
+    """
+    root = root or _max_degree_root(q)
     remaining = _conjuncts(q.where) if q.where is not None else []
 
     def _apply_ready(df: DataFrame) -> DataFrame:
@@ -523,11 +525,40 @@ def compile_query(q: Query | str, graph: PropertyGraph, root: str | None = None)
         pending.remove(pick)
         ecount += 1
         df = _apply_ready(_join_edge(df, pick, q, graph, bound, ecount))
-    cols = set(df.columns)
 
     for c in remaining:  # conjuncts referencing unknown columns -> error here
-        df = df.where(_compile_expr(c, cols))
+        df = df.where(_compile_expr(c, set(df.columns)))
+    return df
 
+
+def compile_query(q: Query | str, graph: PropertyGraph, root: str | None = None) -> DataFrame:
+    """Lower a parsed Query (or GQL string) to a DataFrame: traverse the
+    main MATCH (see _traverse), left-join each OPTIONAL MATCH clause on
+    its shared aliases (Optional -> left outer,
+    /root/reference/reasoner/lube-logical/src/main/scala/com/antgroup/openspg/reasoner/lube/logical/operators/Optional.scala:20),
+    then apply RETURN — aggregates group by the non-aggregate items.
+    """
+    if isinstance(q, str):
+        q = parse(q)
+    if not q.nodes:
+        raise ValueError("empty pattern")
+
+    df = _traverse(q, graph, root)
+
+    for opt in q.optionals:
+        shared = sorted(a for a in opt.nodes if a in q.nodes)
+        if not shared:
+            raise ValueError("OPTIONAL MATCH must share an alias with MATCH")
+        # inherit labels for shared aliases declared only in the main part
+        for a in shared:
+            if opt.nodes[a].label is None and q.nodes[a].label is not None:
+                opt.nodes[a] = q.nodes[a]
+        sub = _traverse(opt, graph, root=shared[0])
+        keys = [f"{a}__vid" for a in shared]
+        keep = keys + [c for c in sub.columns if c not in df.columns]
+        df = df.join(sub.select(*keep), keys, "left")
+
+    cols = set(df.columns)
     items = [(ex, name, _contains_agg(ex)) for ex, name in q.returns]
     if any(agg for _, _, agg in items):
         keys = [

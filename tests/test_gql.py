@@ -157,3 +157,32 @@ def test_compile_explicit_root_matches_default(g):
 def test_unknown_reference_raises(g):
     with pytest.raises(ValueError):
         compile_query("MATCH (a)-[]->(b) RETURN z.vid AS z", g)
+
+
+def test_optional_match(g):
+    rows = compile_query(
+        "MATCH (a) OPTIONAL MATCH (a)-[e]->(b) WHERE e.ts >= 30 "
+        "RETURN a AS a, b AS b ORDER BY a ASC, b ASC",
+        g,
+    ).collect()
+    got = [(r["a"], r["b"]) for r in rows]
+    # edges with ts>=30: 3->4 (30), 4->5 (40); all other vertices keep NULL
+    assert got == [(1, None), (2, None), (3, 4), (4, 5), (5, None)]
+
+
+def test_optional_match_count_semantics(g):
+    rows = compile_query(
+        "MATCH (a) OPTIONAL MATCH (a)-[e]->(b) "
+        "RETURN a AS a, count(b.vid) AS n ORDER BY a ASC",
+        g,
+    ).collect()
+    got = [(r["a"], r["n"]) for r in rows]
+    # out-degrees: 1->2, 2->2, 3->1, 4->1, 5->0 (count skips NULLs)
+    assert got == [(1, 2), (2, 2), (3, 1), (4, 1), (5, 0)]
+
+
+def test_optional_requires_shared_alias(g):
+    with pytest.raises(ValueError):
+        compile_query(
+            "MATCH (a) OPTIONAL MATCH (x)-[]->(y) RETURN a AS a", g
+        )
