@@ -94,3 +94,44 @@ def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "appen
     )
     q.awaitTermination()
     return q
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup: emit each key's FIRST arrival, drop
+    replays — the incremental form of the batch pipeline's exact_dedup
+    for continuously-ingested corpora. ``dropDuplicatesWithinWatermark``
+    bounds the dedup state by the watermark horizon, so state size
+    tracks the late-data window, not the full history (the unbounded
+    form would OOM a 100 TB ingest)."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def streaming_degree_counts(
+    stream_df: DataFrame,
+    src_col: str = "src",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Per-source out-degree over tumbling event-time windows — the
+    incremental feed for degree-based graph maintenance (hot-vertex
+    detection upstream of skew salting)."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(src_col))
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(src_col),
+            "out_degree",
+        )
+    )

@@ -59,3 +59,50 @@ def test_sessionized_counts_run(spark, events_path):
     assert all(r["n"] >= 1 for r in rows)
     total = sum(r["n"] for r in rows)
     assert total == spark.read.parquet(events_path).count()
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    import datetime as dt
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "a"),
+        (1, t0 + dt.timedelta(minutes=1), "a-replay"),
+        (2, t0, "b"),
+        (2, t0 + dt.timedelta(minutes=2), "b-replay"),
+        (3, t0, "c"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, ts timestamp, payload string"
+    ).coalesce(1).write.parquet(str(d / "in"))
+    stream = streaming.read_stream(
+        spark, str(d / "in"), "doc_id bigint, ts timestamp, payload string"
+    )
+    deduped = streaming.streaming_dedup(stream, ["doc_id"], watermark="1 hour")
+    streaming.run_available_now(deduped, "dedup_out", output_mode="append")
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
+    assert got == {1, 2, 3} and n == 3  # one row per key, replays dropped
+
+
+def test_streaming_degree_counts_match_batch(spark, events_path):
+    stream = streaming.read_stream(spark, events_path, EVENTS_SCHEMA)
+    deg = streaming.streaming_degree_counts(
+        stream, src_col="user_id", watermark="10 days", window="1 day"
+    )
+    streaming.run_available_now(deg, "deg_out", output_mode="complete")
+    got = {
+        (str(r["window_start"]), r["user_id"]): r["out_degree"]
+        for r in spark.sql("SELECT * FROM deg_out").collect()
+    }
+    batch = spark.read.parquet(events_path)
+    expected = {
+        (str(r["ws"]), r["user_id"]): r["n"]
+        for r in batch.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "user_id", "n")
+        .collect()
+    }
+    assert got == expected and len(got) > 0
