@@ -411,6 +411,18 @@ def _g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g_ppr3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank, 3 fixed supersteps, teleport to the two
+    smallest vids (seed set derived identically in the SQL oracle)."""
+    from linkgraph.algos.ppr import personalized_pagerank
+
+    e = _edges(spark, sf_dir)
+    verts = e.select(F.col("src").alias("vid")).union(e.select("dst")).distinct()
+    seeds = [int(r[0]) for r in verts.orderBy("vid").limit(2).collect()]
+    res = personalized_pagerank(e, seeds, tol=None, max_iter=3)
+    return res.state.select("vid", F.round("score", 6).alias("score"))
+
+
 def _g_reach3(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
     seed_vid = e.agg(F.min("src")).collect()[0][0]
@@ -669,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_lpa4": _g_lpa4,
         "g_triangles": _g_triangles,
         "g_reach3": _g_reach3,
+        "g_ppr3": _g_ppr3,
         "p1_gql_monotone": _p1_gql_monotone,
         "p2_gql_varlen": _p2_gql_varlen,
         "p3_gql_optional": _p3_gql_optional,
@@ -715,6 +728,40 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
          (1 - {damping})/(SELECT n FROM nv)
          + {damping} * (SELECT s FROM dang{i})/(SELECT n FROM nv)
          + {damping} * COALESCE(m.ms, 0.0) AS score
+  FROM verts v LEFT JOIN m{i} m ON v.vid = m.vid
+)"""
+        )
+    parts.append(f" SELECT vid, ROUND(score, 6) AS score FROM r{iters}")
+    return "\n".join(parts)
+
+
+def _ppr_sql(iters: int = 3, damping: float = 0.85, n_seeds: int = 2) -> str:
+    """Unrolled personalized-PageRank oracle (seeds = n smallest vids,
+    derived in SQL exactly as the Spark query derives them)."""
+    in_seeds = "IN (SELECT vid FROM seeds)"
+    parts = [
+        f"WITH edges AS ({EDGES_SQL}),",
+        f"verts AS ({VERTS_SQL}),",
+        f"seeds AS (SELECT vid FROM verts ORDER BY vid LIMIT {n_seeds}),",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),",
+        "deg AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),",
+        f"r0 AS (SELECT v.vid, CASE WHEN v.vid {in_seeds} THEN 1.0/(SELECT n FROM ns) ELSE 0.0 END AS score FROM verts v)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", dang{i} AS (
+  SELECT COALESCE(SUM(r.score), 0.0) AS s
+  FROM r{i} r LEFT JOIN deg ON r.vid = deg.vid WHERE deg.vid IS NULL
+), m{i} AS (
+  SELECT e.dst AS vid, SUM(r.score / deg.d) AS ms
+  FROM edges e JOIN r{i} r ON e.src = r.vid JOIN deg ON r.vid = deg.vid
+  GROUP BY e.dst
+), r{i + 1} AS (
+  SELECT v.vid,
+         {damping} * COALESCE(m.ms, 0.0)
+         + CASE WHEN v.vid {in_seeds}
+                THEN ((1 - {damping}) + {damping} * (SELECT s FROM dang{i}))/(SELECT n FROM ns)
+                ELSE 0.0 END AS score
   FROM verts v LEFT JOIN m{i} m ON v.vid = m.vid
 )"""
         )
@@ -1229,6 +1276,7 @@ SELECT entity, concept FROM (
   SELECT p_partkey, 'Brand' FROM part
 ) t""",
         "g_pagerank5": _pagerank_sql(5),
+        "g_ppr3": _ppr_sql(3),
         "g_cc8": _cc_sql(8),
         "g_cc_conv": _cc_conv_sql(),
         "g_lpa4": _lpa_sql(4),
