@@ -61,7 +61,18 @@ class PropertyGraph:
             raise ValueError("unlabeled node but multiple vertex tables")
         return next(iter(self.vertices.values()))
 
-    def edge_table(self, rel: str | None) -> DataFrame:
+    def edge_table(self, rel: str | tuple | None) -> DataFrame:
+        if isinstance(rel, tuple):  # [e:A|B] — relTypes set (KGDSL parity)
+            dfs = [self.edges[r] for r in rel]
+            common = [c for c in dfs[0].columns if all(c in d.columns for d in dfs)]
+            parts = [
+                d.select(*common, F.lit(r).alias("rel_type"))
+                for r, d in zip(rel, dfs)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         if rel is not None:
             return self.edges[rel]
         if len(self.edges) != 1:
@@ -88,7 +99,7 @@ class EdgePat:
     src: str
     dst: str
     alias: str | None = None
-    rel: str | None = None
+    rel: str | tuple | None = None  # tuple = relTypes set ([e:A|B])
     lower: int | None = None  # var-len bounds; None = single edge
     upper: int | None = None
 
@@ -118,7 +129,7 @@ _TOKEN_RE = re.compile(
       (?P<num>\d+(?:\.\d+)?)
     | (?P<str>'[^']*')
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op><-|->|<>|<=|>=|\.\.|[()\[\],:\-.*<>=+/%])
+    | (?P<op><-|->|<>|<=|>=|\.\.|[()\[\],:\-.*<>=+/%|])
     )""",
     re.X,
 )
@@ -230,7 +241,10 @@ class _Parser:
                 if self.peek()[0] == "name":
                     alias = self.next()[1]
                 if self.accept("op", ":"):
-                    rel = self.expect("name")[1]
+                    rels = [self.expect("name")[1]]
+                    while self.accept("op", "|"):
+                        rels.append(self.expect("name")[1])
+                    rel = rels[0] if len(rels) == 1 else tuple(rels)
                 if self.accept("op", "*"):
                     lower = int(self.expect("num")[1])
                     self.expect("op", "..")

@@ -75,8 +75,10 @@ def _bind_atom(facts: DataFrame, atom: Atom, idx: int) -> DataFrame:
             cols.append(F.col(pos).alias(f"{val[1:]}"))
         else:
             df = df.where(F.col(pos) == val)
-    # self-join-safe fresh frame per atom position
-    return df.select(*cols) if cols else df.select(F.lit(1).alias(f"__m{idx}__"))
+    if cols:
+        return df.select(*cols)
+    # fully-ground atom: an existence check, not a row multiplier
+    return df.select(F.lit(1).alias(f"__m{idx}__")).limit(1)
 
 
 def _eval_rule(frames: list[DataFrame], rule: Rule) -> DataFrame:

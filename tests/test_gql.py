@@ -186,3 +186,18 @@ def test_optional_requires_shared_alias(g):
         compile_query(
             "MATCH (a) OPTIONAL MATCH (x)-[]->(y) RETURN a AS a", g
         )
+
+
+def test_edge_type_union(spark):
+    verts = spark.createDataFrame([(i,) for i in range(1, 5)], "vid bigint")
+    follows = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    likes = spark.createDataFrame([(1, 3), (2, 4)], "src bigint, dst bigint")
+    g = PropertyGraph({"V": verts}, {"FOLLOWS": follows, "LIKES": likes})
+    q = parse("MATCH (a)-[e:FOLLOWS|LIKES]->(b) RETURN a AS a, b AS b, e.rel_type AS t")
+    assert q.edges[0].rel == ("FOLLOWS", "LIKES")
+    got = {(r["a"], r["b"], r["t"]) for r in compile_query(q, g).collect()}
+    assert got == {(1, 2, "FOLLOWS"), (1, 3, "LIKES"), (2, 4, "LIKES")}
+    # single-type still filters to one table
+    one = {(r["a"], r["b"]) for r in compile_query(
+        "MATCH (a)-[e:LIKES]->(b) RETURN a AS a, b AS b", g).collect()}
+    assert one == {(1, 3), (2, 4)}
