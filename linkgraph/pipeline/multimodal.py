@@ -112,3 +112,59 @@ def frame_sample_stub(
         yield
 
     return df.mapInPandas(_batches, df.schema)
+
+
+# ---------------------------------------------------------------------------
+# audio: REAL WAV decode via stdlib `wave` — no external codec needed
+# ---------------------------------------------------------------------------
+
+AUDIO_STATS_SCHEMA = (
+    "id bigint, sample_rate int, n_channels int, n_frames bigint, "
+    "duration_s double, rms double, peak double"
+)
+
+
+def decode_wav_bytes(blob: bytes) -> dict:
+    """Parse a real RIFF/WAV blob (stdlib ``wave`` + numpy — present in
+    any Python, so unlike the image path this is NOT a stub) and compute
+    duration/RMS/peak over the PCM samples."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob)) as w:
+        rate, nch, nframes = w.getframerate(), w.getnchannels(), w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(nframes)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{width * 8}-bit PCM not supported")
+    rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
+    peak = float(np.max(np.abs(samples))) if samples.size else 0.0
+    return {
+        "sample_rate": rate,
+        "n_channels": nch,
+        "n_frames": nframes,
+        "duration_s": nframes / rate if rate else 0.0,
+        "rms": rms,
+        "peak": peak,
+    }
+
+
+def audio_stats(df: DataFrame, id_col: str = "id", blob_col: str = "audio") -> DataFrame:
+    """Arrow-batched WAV stats over a binary audio column — the same
+    mapInPandas shape as image_metadata, but with a fully real kernel."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                meta = decode_wav_bytes(bytes(blob))
+                rows.append({"id": i, **meta})
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(blob_col).alias(blob_col)
+    ).mapInPandas(_batches, AUDIO_STATS_SCHEMA)

@@ -219,3 +219,37 @@ def test_cosine_pairs_lsh_finds_planted_cluster(vectors):
         .collect()
     }
     assert pairs <= brute
+
+
+def test_audio_stats_real_wav(spark):
+    """The audio path is a REAL decoder (stdlib wave): synthesize PCM
+    WAVs with known properties and verify duration/RMS/peak."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    from linkgraph.pipeline import multimodal
+
+    def make_wav(freq, seconds, rate=8000, amp=0.5):
+        t = np.arange(int(rate * seconds)) / rate
+        pcm = (amp * np.sin(2 * math.pi * freq * t) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    rows = [(1, make_wav(440, 0.5)), (2, make_wav(220, 2.0, amp=0.25))]
+    df = spark.createDataFrame(rows, "id bigint, audio binary")
+    got = {r["id"]: r for r in multimodal.audio_stats(df).collect()}
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_channels"] == 1
+    assert abs(got[1]["duration_s"] - 0.5) < 1e-9
+    assert abs(got[2]["duration_s"] - 2.0) < 1e-9
+    # sine RMS = amp/sqrt(2)
+    assert abs(got[1]["rms"] - 0.5 / math.sqrt(2)) < 0.01
+    assert abs(got[2]["rms"] - 0.25 / math.sqrt(2)) < 0.01
+    assert got[1]["peak"] <= 0.5 + 0.01 and got[2]["peak"] <= 0.25 + 0.01
