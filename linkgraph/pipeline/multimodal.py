@@ -52,6 +52,29 @@ def decode_image_bytes(blob: bytes) -> dict:
             "n_bytes": len(blob),
             "mean_value": float(px.mean()) if px.size else 0.0,
         }
+    if blob.startswith(b"BM") and len(blob) >= 54:
+        # REAL uncompressed 24/32-bit BMP: pure header math, no codec
+        # needed (BITMAPINFOHEADER layout; rows bottom-up, 4-byte padded)
+        off, = struct.unpack_from("<I", blob, 10)
+        w, h = struct.unpack_from("<ii", blob, 18)
+        bpp, = struct.unpack_from("<H", blob, 28)
+        comp, = struct.unpack_from("<I", blob, 30)
+        if comp == 0 and bpp in (24, 32):
+            c = bpp // 8
+            habs = abs(h)
+            stride = (w * c + 3) & ~3
+            rows = [
+                np.frombuffer(blob, dtype=np.uint8, count=w * c, offset=off + r * stride)
+                for r in range(habs)
+            ]
+            px = np.concatenate(rows) if rows else np.array([], dtype=np.uint8)
+            return {
+                "width": w,
+                "height": habs,
+                "channels": c,
+                "n_bytes": len(blob),
+                "mean_value": float(px.mean()) if px.size else 0.0,
+            }
     try:  # pragma: no cover - codec not installed in this container
         import io
 

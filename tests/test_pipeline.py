@@ -253,3 +253,29 @@ def test_audio_stats_real_wav(spark):
     assert abs(got[1]["rms"] - 0.5 / math.sqrt(2)) < 0.01
     assert abs(got[2]["rms"] - 0.25 / math.sqrt(2)) < 0.01
     assert got[1]["peak"] <= 0.5 + 0.01 and got[2]["peak"] <= 0.25 + 0.01
+
+
+def test_image_metadata_real_bmp(spark):
+    """Uncompressed BMP is decoded for real (pure header math)."""
+    import struct
+
+    import numpy as np
+
+    from linkgraph.pipeline import multimodal
+
+    def make_bmp(w, h, value):
+        c = 3
+        stride = (w * c + 3) & ~3
+        px_size = stride * h
+        header = b"BM" + struct.pack("<IHHI", 54 + px_size, 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, px_size, 2835, 2835, 0, 0)
+        row = bytes([value] * (w * c)) + b"\x00" * (stride - w * c)
+        return header + info + row * h
+
+    rows = [(1, make_bmp(5, 4, 100)), (2, make_bmp(3, 3, 200))]
+    df = spark.createDataFrame(rows, "id bigint, image binary")
+    got = {r["id"]: r for r in multimodal.image_metadata(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (5, 4, 3)
+    assert got[1]["mean_value"] == 100.0  # padding excluded from the mean
+    assert (got[2]["width"], got[2]["height"]) == (3, 3)
+    assert got[2]["mean_value"] == 200.0
