@@ -102,6 +102,7 @@ class EdgePat:
     rel: str | tuple | None = None  # tuple = relTypes set ([e:A|B])
     lower: int | None = None  # var-len bounds; None = single edge
     upper: int | None = None
+    undirected: bool = False  # (a)-[e]-(b): Direction.BOTH
 
     @property
     def is_varlen(self) -> bool:
@@ -250,13 +251,16 @@ class _Parser:
                     self.expect("op", "..")
                     upper = int(self.expect("num")[1])
                 self.expect("op", "]")
+            undirected = False
             if back:
                 self.expect("op", "-")
+            elif self.accept("op", "-"):  # (a)-[e]-(b): no arrow = BOTH
+                undirected = True
             else:
                 self.expect("op", "->")
             right = self._node(q)
             src, dst = (right, left) if back else (left, right)
-            q.edges.append(EdgePat(src, dst, alias, rel, lower, upper))
+            q.edges.append(EdgePat(src, dst, alias, rel, lower, upper, undirected))
             left = right
 
     def _node(self, q: Query) -> str:
@@ -479,6 +483,42 @@ def _max_degree_root(q: Query) -> str:
     return max(sorted(deg), key=lambda a: deg[a])
 
 
+def _expr_aliases(e, out: set[str]) -> set[str]:
+    if e[0] == "ref":
+        out.add(e[1])
+    elif e[0] == "bin":
+        _expr_aliases(e[2], out)
+        _expr_aliases(e[3], out)
+    elif e[0] == "not":
+        _expr_aliases(e[1], out)
+    elif e[0] == "func":
+        for a in e[2]:
+            _expr_aliases(a, out)
+    return out
+
+
+def _choose_root(q: Query) -> str:
+    """Traversal-root heuristic, reference precedence with the
+    IdEqualPushDown upgrade (optimizer/rules/IdEqualPushDown.scala):
+    an alias pinned by a single-alias equality conjunct is the most
+    selective seed — start there so every later hop grows from the
+    pinned rows; otherwise fall back to max pattern degree."""
+    pinned: set[str] = set()
+    for c in _conjuncts(q.where) if q.where is not None else []:
+        if c[0] == "bin" and c[1] == "=":
+            aliases = _expr_aliases(c, set())
+            if len(aliases) == 1:
+                pinned.add(next(iter(aliases)))
+    pinned &= set(q.nodes)
+    if pinned:
+        deg: dict[str, int] = {}
+        for e in q.edges:
+            deg[e.src] = deg.get(e.src, 0) + 1
+            deg[e.dst] = deg.get(e.dst, 0) + 1
+        return max(sorted(pinned), key=lambda a: deg.get(a, 0))
+    return _max_degree_root(q)
+
+
 def _bind_vertex(df: DataFrame | None, alias: str, q: Query, graph: PropertyGraph,
                  join_col: str | None = None) -> DataFrame:
     """Join alias's vertex table into the binding table (PatternScan when
@@ -508,7 +548,7 @@ def _traverse(q: Query, graph: PropertyGraph, root: str | None = None) -> DataFr
     frontier instead of enumerating paths from every vertex — the
     difference between O(seeds·fanout^k) and O(|V|·fanout^k).
     """
-    root = root or _max_degree_root(q)
+    root = root or _choose_root(q)
     remaining = _conjuncts(q.where) if q.where is not None else []
 
     def _apply_ready(df: DataFrame) -> DataFrame:
@@ -615,6 +655,13 @@ def _join_edge(
     n: int,
 ) -> DataFrame:
     edf = graph.edge_table(e.rel)
+    if e.undirected:  # Direction.BOTH: traverse either orientation
+        props = [c for c in edf.columns if c not in ("src", "dst")]
+        edf = edf.unionByName(
+            edf.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), *props
+            )
+        )
     if e.is_varlen:
         if e.src not in bound:
             # traverse from the bound side; a dst-bound var-len would

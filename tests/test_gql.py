@@ -201,3 +201,29 @@ def test_edge_type_union(spark):
     one = {(r["a"], r["b"]) for r in compile_query(
         "MATCH (a)-[e:LIKES]->(b) RETURN a AS a, b AS b", g).collect()}
     assert one == {(1, 3), (2, 4)}
+
+
+def test_undirected_edge(g):
+    got = {
+        (r["a"], r["b"])
+        for r in compile_query(
+            "MATCH (a)-[e]-(b) WHERE a.vid = 3 RETURN a AS a, b AS b", g
+        ).collect()
+    }
+    # 3's neighbors in either direction: 2->3, 3->4, 1->3
+    assert got == {(3, 2), (3, 4), (3, 1)}
+
+
+def test_root_prefers_pinned_alias():
+    q = parse("MATCH (a)-[]->(b)-[]->(c) WHERE c.vid = 5 RETURN a AS a")
+    # max degree would pick b; the equality pin on c wins (seed pushdown)
+    assert gql._choose_root(q) == "c"
+    q2 = parse("MATCH (a)-[]->(b)-[]->(c) RETURN a AS a")
+    assert gql._choose_root(q2) == "b"
+
+
+def test_pinned_root_same_result(g):
+    dsl = "MATCH (a)-[]->(b)-[]->(c) WHERE c.vid = 4 RETURN a AS a, b AS b"
+    auto = {tuple(r) for r in compile_query(dsl, g).collect()}
+    forced = {tuple(r) for r in compile_query(dsl, g, root="b").collect()}
+    assert auto == forced and auto == {(1, 2), (1, 3), (2, 3)}
