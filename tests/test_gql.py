@@ -227,3 +227,33 @@ def test_pinned_root_same_result(g):
     auto = {tuple(r) for r in compile_query(dsl, g).collect()}
     forced = {tuple(r) for r in compile_query(dsl, g, root="b").collect()}
     assert auto == forced and auto == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_demo_graph_dsl(spark):
+    from linkgraph.datagen import demo_graph
+
+    g2 = demo_graph(
+        spark,
+        """
+        # tiny social graph
+        alice [User, age=30]
+        bob [User, age=25]
+        corp [Org]
+        alice -> bob [knows, since=2020]
+        bob -> corp [works_at]
+        alice -> corp [works_at]
+        """,
+    )
+    got = {
+        (r["n"], r["o"])
+        for r in compile_query(
+            "MATCH (u:User)-[e:works_at]->(c:Org) WHERE u.age < 28 "
+            "RETURN u.name AS n, c.name AS o",
+            g2,
+        ).collect()
+    }
+    assert got == {("bob", "corp")}
+    both = compile_query(
+        "MATCH (u:User)-[e:works_at]->(c:Org) RETURN count(*) AS n", g2
+    ).collect()[0]["n"]
+    assert both == 2
