@@ -259,6 +259,8 @@ class _Parser:
             else:
                 self.expect("op", "->")
             right = self._node(q)
+            if alias is not None and alias in q.nodes:
+                raise SyntaxError(f"edge alias {alias!r} collides with a node alias")
             src, dst = (right, left) if back else (left, right)
             q.edges.append(EdgePat(src, dst, alias, rel, lower, upper, undirected))
             left = right
@@ -548,6 +550,8 @@ def _traverse(q: Query, graph: PropertyGraph, root: str | None = None) -> DataFr
     frontier instead of enumerating paths from every vertex — the
     difference between O(seeds·fanout^k) and O(|V|·fanout^k).
     """
+    if root is not None and root not in q.nodes:
+        raise ValueError(f"root alias {root!r} is not in the pattern")
     root = root or _choose_root(q)
     remaining = _conjuncts(q.where) if q.where is not None else []
 
