@@ -50,3 +50,39 @@ def test_pagerank_matches_power_iteration(spark, edges):
     assert set(got) == vertices
     for v in vertices:
         assert math.isclose(got[v], expected[v], abs_tol=1e-6)
+
+
+def test_phash_cross_engine_parity_random_unicode(spark):
+    """The portable hash family must agree between Spark and DuckDB on
+    arbitrary text (the oracle contract) — including multibyte unicode,
+    whitespace runs, empties, and strings shorter than the window."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from linkgraph.pipeline import phash
+
+    rng = random.Random(424242)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyz0123456789 \t àéîõüßñ 中文字符 日本語 кирилл ελλ"
+    )
+    samples = [""] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i int, s string")
+    got = {
+        r["i"]: (r["ch"], r["th"])
+        for r in df.select(
+            "i",
+            phash.char_hash(F.col("s"), 7).alias("ch"),
+            phash.token_hash(F.col("s")).alias("th"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    ch = phash.char_hash_sql("s", 7)
+    th = phash.token_hash_sql("s")
+    for i, s in enumerate(samples):
+        row = con.execute(f"SELECT {ch}, {th} FROM (SELECT ? AS s)", [s]).fetchone()
+        assert got[i] == (row[0], row[1]), f"mismatch on {s!r}"
