@@ -122,6 +122,7 @@ def var_len_expand_paths(
     on: str = "vid",
     edge_props: Sequence[str] = (),
     edge_constraint=None,
+    per_src_limit: int | None = None,
 ) -> DataFrame:
     """repeat(lower, upper) with path-edge accumulation — the PathEdge
     analog (/root/reference/reasoner/common/.../PathEdge.java:31-42,
@@ -139,9 +140,22 @@ def var_len_expand_paths(
     between O(pruned) and O(fanout^hops) shuffle volume at scale. The
     surviving arrays feed ``repeat_reduce`` / ``repeat_constraint``
     (functions.SCALARS) for whole-path predicates.
+
+    ``per_src_limit`` caps the fanout taken from each source vertex
+    (PatternConnection.limit analog — the reference caps per-root
+    expansion): on a hub-heavy web graph the k-hop path count is
+    otherwise dominated by a few 10^6-degree hosts; a deterministic
+    top-k by dst bounds it to limit^k per seed.
     """
     from pyspark.sql import types as T
 
+    if per_src_limit is not None:
+        w = Window.partitionBy("src").orderBy(F.col("dst").asc())
+        edges = (
+            edges.withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") <= per_src_limit)
+            .drop("__rn__")
+        )
     fields = ["src", "dst", *edge_props]
     st = T.StructType([edges.schema[f] for f in fields])
     cur = frontier.select(

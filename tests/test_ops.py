@@ -261,3 +261,17 @@ def test_builtin_udtfs(spark):
     assert words == {"the", "quick", "brown", "fox"}
     grams = [r["g"] for r in df.select(F.explode(UDTFS["ngram_rows"](F.col("s"), 2)).alias("g")).collect()]
     assert grams == ["the quick", "quick brown", "brown fox"]
+
+
+def test_var_len_paths_per_src_limit(spark):
+    e = spark.createDataFrame(
+        [(1, d) for d in (5, 3, 9, 7)] + [(3, 4)], "src bigint, dst bigint"
+    )
+    frontier = spark.createDataFrame([(1,)], "vid bigint")
+    got = ops.var_len_expand_paths(frontier, e, 1, 1, per_src_limit=2).collect()
+    # deterministic top-2 by dst from the hub: 3 and 5 survive, 7/9 capped
+    assert {r["vid"] for r in got} == {3, 5}
+    two_hop = ops.var_len_expand_paths(frontier, e, 2, 2, per_src_limit=2).collect()
+    assert {tuple((p["src"], p["dst"]) for p in r["path"]) for r in two_hop} == {
+        ((1, 3), (3, 4))
+    }
