@@ -1,0 +1,59 @@
+"""spark-submit entry point: run a GQL pattern query against a catalog.
+
+    spark-submit --py-files linkgraph.zip jobs/gql_job.py \\
+        --catalog /path/catalog.json \\
+        --query "MATCH (a:Page)-[e:links]->(b:Page) RETURN a.url AS src, count(*) AS n" \\
+        [--out /path/out] [--show 20] [--explain]
+
+The reference's primary lifecycle (DSL string -> parse -> plan ->
+execute, OpenSPGDslParser.scala:86-116) as a deployable job: the catalog
+JSON binds labels/types to parquet/Iceberg tables (see
+linkgraph/catalog.py), the query compiles onto the DataFrame operator
+layer, and the result writes to parquet or prints. Prints one JSON line
+(rows, wall time).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--catalog", required=True, help="catalog JSON file")
+    p.add_argument("--query", required=True, help="GQL MATCH ... RETURN ...")
+    p.add_argument("--root", default=None, help="explicit traversal root alias")
+    p.add_argument("--out", default=None, help="parquet output path")
+    p.add_argument("--show", type=int, default=0, help="print first N rows")
+    p.add_argument("--explain", action="store_true", help="dump the physical plan")
+    args = p.parse_args()
+
+    spark = SparkSession.builder.appName("linkgraph-gql").getOrCreate()
+    from linkgraph.catalog import GraphCatalog
+    from linkgraph.gql import compile_query
+
+    with open(args.catalog) as f:
+        cat = GraphCatalog(spark, json.load(f))
+    t0 = time.monotonic()
+    df = compile_query(args.query, cat.property_graph(), root=args.root)
+    if args.explain:
+        df.explain("formatted")
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    else:
+        rows = df.collect()
+        n = len(rows)
+        for r in rows[: args.show]:
+            print(r, file=sys.stderr)
+    print(json.dumps({"rows": n, "wall_s": round(time.monotonic() - t0, 3)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
