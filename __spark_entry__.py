@@ -956,8 +956,10 @@ WITH toks AS (
   FROM documents
 ),
 hx AS (SELECT doc_id, {th} AS x FROM toks),
-cnt AS (SELECT doc_id, {cnts} FROM hx GROUP BY doc_id)
-SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM cnt"""
+cnt AS (SELECT doc_id, {cnts} FROM hx GROUP BY doc_id),
+hashed AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM cnt)
+SELECT d.doc_id, hashed.simhash
+FROM documents d LEFT JOIN hashed ON d.doc_id = hashed.doc_id"""
 
 
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:

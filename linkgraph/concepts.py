@@ -39,6 +39,7 @@ def concept_closure(isa: DataFrame, max_depth: int = 20) -> DataFrame:
         isa.select(F.col("child").alias("concept"), F.col("parent").alias("ancestor"))
     ).distinct().localCheckpoint(eager=True)
     delta = full
+    converged = False
     for _ in range(max_depth):
         up = isa.select(
             F.col("child").alias("ancestor"), F.col("parent").alias("__p__")
@@ -51,9 +52,16 @@ def concept_closure(isa: DataFrame, max_depth: int = 20) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         if new.isEmpty():
+            converged = True
             break
         full = full.unionByName(new).localCheckpoint(eager=True)
         delta = new
+    if not converged:
+        # fail loudly: a silently-truncated closure would make
+        # concept_edge_expand miss matches with no signal
+        raise RuntimeError(
+            f"taxonomy deeper than max_depth={max_depth}; raise the limit"
+        )
     return full
 
 

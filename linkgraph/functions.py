@@ -93,6 +93,8 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     # Accumulate(op), op in {+, *} — list-accumulate fold
     # (Expr.scala:123; KGDSL.g4:332 accumulate_support_op: plus|asterisk)
     "accumulate": lambda c, op="+": {"+": F.sum, "*": F.product}[op](c),
+    # deterministic collect: sorted, so oracle comparisons are stable
+    "collect_list": lambda c: F.sort_array(F.collect_list(c)),
 }
 
 

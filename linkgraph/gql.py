@@ -259,8 +259,13 @@ class _Parser:
             else:
                 self.expect("op", "->")
             right = self._node(q)
-            if alias is not None and alias in q.nodes:
-                raise SyntaxError(f"edge alias {alias!r} collides with a node alias")
+            if alias is not None:
+                if alias in q.nodes:
+                    raise SyntaxError(
+                        f"edge alias {alias!r} collides with a node alias"
+                    )
+                if any(ep.alias == alias for ep in q.edges):
+                    raise SyntaxError(f"duplicate edge alias {alias!r}")
             src, dst = (right, left) if back else (left, right)
             q.edges.append(EdgePat(src, dst, alias, rel, lower, upper, undirected))
             left = right
@@ -272,6 +277,8 @@ class _Parser:
         if self.accept("op", ":"):
             label = self.expect("name")[1]
         self.expect("op", ")")
+        if any(ep.alias == alias for ep in q.edges):
+            raise SyntaxError(f"node alias {alias!r} collides with an edge alias")
         prev = q.nodes.get(alias)
         if prev is not None and label is not None and prev.label not in (None, label):
             raise SyntaxError(f"alias {alias} bound to two labels")
@@ -389,14 +396,16 @@ def parse(text: str) -> Query:
 # compiler / planner
 # ---------------------------------------------------------------------------
 
-_AGG_FUNCS = {
-    "count", "sum", "avg", "min", "max", "count_distinct", "collect_list",
-    "concat_agg", "accumulate",
-}
+def _is_agg_fn(name: str) -> bool:
+    """Aggregate-ness resolves against the live registry, so aggregates
+    added via functions.register_agg compose with the front-end."""
+    from linkgraph.functions import AGGREGATES
+
+    return name in AGGREGATES
 
 
 def _contains_agg(e) -> bool:
-    if e[0] == "func" and e[1] in _AGG_FUNCS:
+    if e[0] == "func" and _is_agg_fn(e[1]):
         return True
     if e[0] == "bin":
         return _contains_agg(e[2]) or _contains_agg(e[3])
@@ -445,10 +454,17 @@ def _compile_expr(e, cols: set[str]) -> Column:
             return F.count(F.lit(1))
         from linkgraph.functions import AGGREGATES, SCALARS
 
-        fn = AGGREGATES.get(name) if name in _AGG_FUNCS else SCALARS.get(name)
+        fn = AGGREGATES.get(name) or SCALARS.get(name)
         if fn is None:
             raise ValueError(f"unknown function {name}")
-        return fn(*[_compile_expr(a, cols) for a in args])
+        # literal args pass through as raw Python values: registry
+        # callables take option-like params (substring positions,
+        # accumulate's '+'/'*' op) as plain values, and Spark auto-lifts
+        # literals used as Columns
+        compiled = [
+            a[1] if a[0] == "lit" else _compile_expr(a, cols) for a in args
+        ]
+        return fn(*compiled)
     raise ValueError(f"cannot compile {e}")
 
 
@@ -667,15 +683,35 @@ def _join_edge(
             )
         )
     if e.is_varlen:
-        if e.src not in bound:
-            # traverse from the bound side; a dst-bound var-len would
-            # need reversed edges — normalize patterns so src binds first
-            raise ValueError("var-len edge requires its source bound first")
-        frontier = df.select(F.col(f"{e.src}__vid").alias("vid")).distinct()
         props = [c for c in edf.columns if c not in ("src", "dst")]
+        # traverse from whichever endpoint is bound; a dst-only binding
+        # (e.g. the root was pinned on the target) walks REVERSED edges
+        # and flips the accumulated path back to forward orientation
+        reverse = e.src not in bound
+        if reverse and e.dst not in bound:
+            raise ValueError("var-len edge needs a bound endpoint")
+        walk_edges = edf
+        if reverse:
+            walk_edges = edf.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), *props
+            )
+        from_alias, to_alias = (e.dst, e.src) if reverse else (e.src, e.dst)
+        frontier = df.select(F.col(f"{from_alias}__vid").alias("vid")).distinct()
         paths = var_len_expand_paths(
-            frontier, edf, e.lower, e.upper, edge_props=props
+            frontier, walk_edges, e.lower, e.upper, edge_props=props
         )
+        path_col = F.col("path")
+        if reverse:  # un-swap each edge and restore forward order
+            path_col = F.reverse(
+                F.transform(
+                    path_col,
+                    lambda x: F.struct(
+                        x["dst"].alias("src"),
+                        x["src"].alias("dst"),
+                        *[x[p].alias(p) for p in props],
+                    ),
+                )
+            )
         psel = [
             F.col("start").alias("__start__"),
             F.col("vid").alias("__end__"),
@@ -683,17 +719,19 @@ def _join_edge(
         if e.alias:
             psel += [
                 F.col("hops").alias(f"{e.alias}__hops"),
-                F.col("path").alias(f"{e.alias}__path"),
+                path_col.alias(f"{e.alias}__path"),
             ]
         p = paths.select(*psel)
-        out = df.join(p, F.col(f"{e.src}__vid") == F.col("__start__")).drop(
+        out = df.join(p, F.col(f"{from_alias}__vid") == F.col("__start__")).drop(
             "__start__"
         )
-        if e.dst in bound:
-            out = out.where(F.col(f"{e.dst}__vid") == F.col("__end__")).drop("__end__")
+        if to_alias in bound:
+            out = out.where(F.col(f"{to_alias}__vid") == F.col("__end__")).drop(
+                "__end__"
+            )
         else:
-            out = _bind_vertex(out, e.dst, q, graph, "__end__")
-            bound.add(e.dst)
+            out = _bind_vertex(out, to_alias, q, graph, "__end__")
+            bound.add(to_alias)
         return out
 
     srcc, dstc = f"__s{n}__", f"__d{n}__"

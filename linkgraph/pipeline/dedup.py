@@ -200,7 +200,11 @@ def simhash(
             F.lit(0).cast("long")
         )
         sim = term if sim is None else sim + term
-    return aggd.select(F.col(id_col), sim.alias("simhash"))
+    hashed = aggd.select(F.col(id_col), sim.alias("simhash"))
+    # preserve input cardinality: null-text docs produce no tokens (the
+    # explode drops them) but must come back with a null hash — callers
+    # join simhash output against the corpus by id
+    return docs.select(F.col(id_col)).join(hashed, id_col, "left")
 
 
 def simhash_pairs(

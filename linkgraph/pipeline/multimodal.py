@@ -63,6 +63,11 @@ def decode_image_bytes(blob: bytes) -> dict:
             c = bpp // 8
             habs = abs(h)
             stride = (w * c + 3) & ~3
+            # validate the header against the actual buffer: corrupt or
+            # truncated headers must raise cleanly (callers route this
+            # through on_error), never feed negative counts to numpy
+            if w <= 0 or habs == 0 or off + stride * habs > len(blob):
+                raise ValueError("corrupt BMP: header inconsistent with buffer")
             rows = [
                 np.frombuffer(blob, dtype=np.uint8, count=w * c, offset=off + r * stride)
                 for r in range(habs)
@@ -96,15 +101,38 @@ def decode_image_bytes(blob: bytes) -> dict:
         ) from e
 
 
+_IMAGE_NULL_META = {
+    "width": None, "height": None, "channels": None, "n_bytes": None,
+    "mean_value": None,
+}
+
+
 def image_metadata(
-    df: DataFrame, id_col: str = "id", blob_col: str = "image"
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "image",
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id, width, height, channels, n_bytes, mean_value) via mapInPandas —
-    Arrow-batched; the per-image decode is the sanctioned slow path."""
+    Arrow-batched; the per-image decode is the sanctioned slow path.
+
+    ``on_error="null"`` null-pads rows whose blobs fail to decode
+    (corrupt headers, unsupported formats) instead of aborting the
+    stage — the right mode for a web-crawl corpus where some blobs are
+    always broken. The default raises, keeping the honest-stub boundary
+    visible in tests."""
+
+    def _one(blob: bytes) -> dict:
+        if on_error == "null":
+            try:
+                return decode_image_bytes(blob)
+            except Exception:
+                return dict(_IMAGE_NULL_META)
+        return decode_image_bytes(blob)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            metas = [decode_image_bytes(bytes(b)) for b in pdf[blob_col]]
+            metas = [_one(bytes(b)) for b in pdf[blob_col]]
             out = pd.DataFrame(metas)
             out.insert(0, "id", pdf[id_col].values)
             yield out
@@ -176,16 +204,36 @@ def decode_wav_bytes(blob: bytes) -> dict:
     }
 
 
-def audio_stats(df: DataFrame, id_col: str = "id", blob_col: str = "audio") -> DataFrame:
+_AUDIO_NULL_META = {
+    "sample_rate": None, "n_channels": None, "n_frames": None,
+    "duration_s": None, "rms": None, "peak": None,
+}
+
+
+def audio_stats(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "audio",
+    on_error: str = "raise",
+) -> DataFrame:
     """Arrow-batched WAV stats over a binary audio column — the same
-    mapInPandas shape as image_metadata, but with a fully real kernel."""
+    mapInPandas shape as image_metadata, but with a fully real kernel.
+    ``on_error="null"`` null-pads undecodable blobs (truncated RIFF,
+    unsupported PCM widths) instead of failing the stage."""
+
+    def _one(blob: bytes) -> dict:
+        if on_error == "null":
+            try:
+                return decode_wav_bytes(blob)
+            except Exception:
+                return dict(_AUDIO_NULL_META)
+        return decode_wav_bytes(blob)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
-                meta = decode_wav_bytes(bytes(blob))
-                rows.append({"id": i, **meta})
+                rows.append({"id": i, **_one(bytes(blob))})
             yield pd.DataFrame(rows)
 
     return df.select(

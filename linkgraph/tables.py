@@ -81,12 +81,18 @@ class TableStore:
         else:
             df.write.mode("append").parquet(self._path(name))
 
-    def _acquire_lock(self, path: str, timeout_s: float = 120.0) -> str:
+    def _acquire_lock(
+        self, path: str, timeout_s: float = 120.0, stale_s: float = 1800.0
+    ) -> str:
         """Atomic mkdir mutex — serializes read-merge-swap so concurrent
         upserts can't lose updates (Iceberg gets this from optimistic
         snapshot commits; the parquet emulation needs an explicit fence:
         two unlocked writers would both read the same base and the
-        second swap would silently drop the first's rows)."""
+        second swap would silently drop the first's rows).
+
+        A lock older than ``stale_s`` is presumed orphaned (holder killed
+        mid-write) and is broken — otherwise one SIGKILL would block the
+        table forever."""
         lock = path + ".lock"
         deadline = time.monotonic() + timeout_s
         while True:
@@ -95,6 +101,12 @@ class TableStore:
                 os.mkdir(lock)
                 return lock
             except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_s:
+                        shutil.rmtree(lock, ignore_errors=True)
+                        continue
+                except OSError:
+                    pass  # lock vanished between the check and the stat
                 if time.monotonic() > deadline:
                     raise TimeoutError(f"upsert lock busy: {lock}")
                 time.sleep(0.05)

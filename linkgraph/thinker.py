@@ -69,6 +69,12 @@ def parse_rule(text: str) -> Rule:
 def _bind_atom(facts: DataFrame, atom: Atom, idx: int) -> DataFrame:
     """Facts matching one body atom, columns renamed to its variables."""
     df = facts.where(F.col("p") == atom.p)
+    if atom.s.startswith("?") and atom.s == atom.o:
+        # repeated variable, e.g. (?x, link, ?x): an equality constraint,
+        # bound once
+        return df.where(F.col("s") == F.col("o")).select(
+            F.col("s").alias(atom.s[1:])
+        )
     cols = []
     for pos, val in (("s", atom.s), ("o", atom.o)):
         if val.startswith("?"):

@@ -49,3 +49,15 @@ def test_edge_to_property(spark):
     }
     # deterministic min on multi-tag; untagged entity keeps NULL (left join)
     assert got == {(1, "apple"), (2, "dog"), (3, None)}
+
+
+def test_concept_closure_depth_guard(spark):
+    import pytest
+
+    isa = spark.createDataFrame(
+        [(f"c{i}", f"c{i+1}") for i in range(6)], "child string, parent string"
+    )
+    with pytest.raises(RuntimeError):
+        concept_closure(isa, max_depth=2)
+    full = concept_closure(isa, max_depth=10)
+    assert full.where("concept = 'c0' AND ancestor = 'c6'").count() == 1

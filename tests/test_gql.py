@@ -257,3 +257,57 @@ def test_demo_graph_dsl(spark):
         "MATCH (u:User)-[e:works_at]->(c:Org) RETURN count(*) AS n", g2
     ).collect()[0]["n"]
     assert both == 2
+
+
+def test_varlen_from_dst_pinned_root(g):
+    """A var-len edge reached from its dst side walks reversed edges and
+    flips the path back to forward orientation."""
+    rows = compile_query(
+        "MATCH (a)-[e*1..3]->(b) WHERE b.vid = 5 RETURN DISTINCT a AS a", g
+    ).collect()
+    # reaching 5: 4->5; 3->4->5; 2->4->5; 2->3->4->5; 1->2->4..., 1->3->4->5
+    assert {r["a"] for r in rows} == {1, 2, 3, 4}
+    # path orientation is forward even when walked in reverse
+    p = compile_query(
+        "MATCH (a)-[e*2..2]->(b) WHERE b.vid = 5 AND a.vid = 3 "
+        "RETURN e.path AS p",
+        g,
+    ).collect()
+    assert [(x["src"], x["dst"]) for x in p[0]["p"]] == [(3, 4), (4, 5)]
+
+
+def test_registered_agg_composes_with_gql(g):
+    from linkgraph.functions import register_agg
+
+    @register_agg("sum_sq_gql_test", replace=True)
+    def sum_sq(c):
+        return F.sum(c * c)
+
+    got = {
+        (r["a"], r["ss"])
+        for r in compile_query(
+            "MATCH (a)-[e]->(b) RETURN a AS a, sum_sq_gql_test(b.vid) AS ss", g
+        ).collect()
+    }
+    assert got == {(1, 13), (2, 25), (3, 16), (4, 25)}
+
+
+def test_collect_list_and_accumulate_in_gql(g):
+    rows = compile_query(
+        "MATCH (a)-[e]->(b) RETURN a AS a, collect_list(b.vid) AS bs, "
+        "accumulate(e.ts, '*') AS p ORDER BY a ASC",
+        g,
+    ).collect()
+    assert [(r["a"], r["bs"], r["p"]) for r in rows] == [
+        (1, [2, 3], 70.0),
+        (2, [3, 4], 100.0),
+        (3, [4], 30.0),
+        (4, [5], 40.0),
+    ]
+
+
+def test_alias_collisions_rejected():
+    with pytest.raises(SyntaxError):
+        parse("MATCH (a)-[x:E]->(b), (x)-[:E]->(c) RETURN x.ts AS t")
+    with pytest.raises(SyntaxError):
+        parse("MATCH (a)-[e]->(b), (b)-[e]->(c) RETURN e.ts AS t")

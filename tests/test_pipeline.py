@@ -279,3 +279,34 @@ def test_image_metadata_real_bmp(spark):
     assert got[1]["mean_value"] == 100.0  # padding excluded from the mean
     assert (got[2]["width"], got[2]["height"]) == (3, 3)
     assert got[2]["mean_value"] == 200.0
+
+
+def test_multimodal_on_error_null(spark):
+    from linkgraph.pipeline import multimodal
+
+    good = multimodal.encode_fake_image(2, 2, 1, seed=3)
+    corrupt_bmp = b"BM" + b"\x00" * 60  # claims nothing valid
+    df = spark.createDataFrame(
+        [(1, good), (2, corrupt_bmp), (3, b"\x89PNG....")],
+        "id bigint, image binary",
+    )
+    rows = {r["id"]: r for r in multimodal.image_metadata(df, on_error="null").collect()}
+    assert rows[1]["width"] == 2 and rows[2]["width"] is None and rows[3]["width"] is None
+    import pytest
+
+    with pytest.raises(Exception):
+        multimodal.image_metadata(df).collect()  # default raises
+
+    adf = spark.createDataFrame([(1, b"RIFFnotawav")], "id bigint, audio binary")
+    arows = multimodal.audio_stats(adf, on_error="null").collect()
+    assert arows[0]["sample_rate"] is None
+
+
+def test_simhash_preserves_null_text_rows(spark):
+    from linkgraph.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert set(got) == {1, 2} and got[1] is not None and got[2] is None

@@ -57,3 +57,14 @@ def test_fixpoint_on_cycle_terminates(spark):
     closure = infer(triples, rules)
     reach = {(r["s"], r["o"]) for r in find(closure, p="reach").collect()}
     assert reach == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
+
+
+def test_repeated_variable_in_atom(spark):
+    triples = spark.createDataFrame(
+        [("a", "link", "a"), ("a", "link", "b")], "s string, p string, o string"
+    )
+    rules = [parse_rule("(?x, selfloop, yes) <- (?x, link, ?x)")]
+    closure = infer(triples, rules)
+    assert {tuple(r) for r in find(closure, p="selfloop").collect()} == {
+        ("a", "selfloop", "yes")
+    }
