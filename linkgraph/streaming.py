@@ -135,3 +135,50 @@ def streaming_degree_counts(
             "out_degree",
         )
     )
+
+
+def running_degree(
+    stream_df: DataFrame,
+    src_col: str = "src",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    hot_threshold: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-source
+    CUMULATIVE out-degree across micro-batches (windowed aggregation
+    can't express "total so far" — it needs user state). Emits one row
+    per (source, batch) with the updated running total; with
+    ``hot_threshold`` set, only sources whose cumulative degree crossed
+    the threshold emit — the streaming hot-vertex detector that feeds
+    skew salting decisions.
+
+    State per key is a single long, so state-store size is O(distinct
+    sources) regardless of edge volume.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{src_col} bigint, running_degree bigint"
+    state_schema = "total long"
+
+    def _update(key, pdf_iter, state):
+        new = 0
+        for pdf in pdf_iter:
+            new += len(pdf)
+        (total,) = state.get if state.exists else (0,)
+        total += new
+        state.update((total,))
+        if hot_threshold is None or total >= hot_threshold:
+            yield pd.DataFrame({src_col: [key[0]], "running_degree": [total]})
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(src_col)
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

