@@ -411,6 +411,18 @@ def _g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g_hits3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities, 3 fixed iterations, L2-normalized."""
+    from linkgraph.algos.hits import hits
+
+    res = hits(_edges(spark, sf_dir), max_iter=3)
+    return res.state.select(
+        "vid",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
 def _g_ppr3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank, 3 fixed supersteps, teleport to the two
     smallest vids (seed set derived identically in the SQL oracle)."""
@@ -682,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangles": _g_triangles,
         "g_reach3": _g_reach3,
         "g_ppr3": _g_ppr3,
+        "g_hits3": _g_hits3,
         "p1_gql_monotone": _p1_gql_monotone,
         "p2_gql_varlen": _p2_gql_varlen,
         "p3_gql_optional": _p3_gql_optional,
@@ -766,6 +779,46 @@ def _ppr_sql(iters: int = 3, damping: float = 0.85, n_seeds: int = 2) -> str:
 )"""
         )
     parts.append(f" SELECT vid, ROUND(score, 6) AS score FROM r{iters}")
+    return "\n".join(parts)
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled HITS oracle (same half-step + L2 normalization order as
+    algos/hits.py; zero-sum norms fall back to 1.0 on both sides)."""
+    parts = [
+        f"WITH edges AS ({EDGES_SQL}),",
+        f"verts AS ({VERTS_SQL}),",
+        "s0 AS (SELECT vid, 1.0 AS hub, 1.0 AS auth FROM verts)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", ar{i} AS (
+  SELECT e.dst AS vid, SUM(s.hub) AS araw
+  FROM edges e JOIN s{i} s ON e.src = s.vid GROUP BY e.dst
+), an{i} AS (
+  SELECT CASE WHEN COALESCE(SUM(araw * araw), 0) = 0 THEN 1.0
+              ELSE sqrt(SUM(araw * araw)) END AS n
+  FROM ar{i}
+), a{i} AS (
+  SELECT v.vid, s.hub, COALESCE(ar.araw, 0.0) / (SELECT n FROM an{i}) AS auth
+  FROM verts v
+  JOIN s{i} s ON v.vid = s.vid
+  LEFT JOIN ar{i} ar ON v.vid = ar.vid
+), hr{i} AS (
+  SELECT e.src AS vid, SUM(a.auth) AS hraw
+  FROM edges e JOIN a{i} a ON e.dst = a.vid GROUP BY e.src
+), hn{i} AS (
+  SELECT CASE WHEN COALESCE(SUM(hraw * hraw), 0) = 0 THEN 1.0
+              ELSE sqrt(SUM(hraw * hraw)) END AS n
+  FROM hr{i}
+), s{i + 1} AS (
+  SELECT a.vid, COALESCE(hr.hraw, 0.0) / (SELECT n FROM hn{i}) AS hub, a.auth
+  FROM a{i} a LEFT JOIN hr{i} hr ON a.vid = hr.vid
+)"""
+        )
+    parts.append(
+        f" SELECT vid, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS auth FROM s{iters}"
+    )
     return "\n".join(parts)
 
 
@@ -1279,6 +1332,7 @@ SELECT entity, concept FROM (
 ) t""",
         "g_pagerank5": _pagerank_sql(5),
         "g_ppr3": _ppr_sql(3),
+        "g_hits3": _hits_sql(3),
         "g_cc8": _cc_sql(8),
         "g_cc_conv": _cc_conv_sql(),
         "g_lpa4": _lpa_sql(4),

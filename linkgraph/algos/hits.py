@@ -1,0 +1,119 @@
+"""HITS (hubs & authorities) as Pregel-style DataFrame supersteps.
+
+Classic Kleinberg link analysis — the natural companion of PageRank on a
+web link graph (the reference ships neither; both ride its iterative
+expand/aggregate machinery, SURVEY.md key negative finding).
+
+Semantics (frozen; the DuckDB oracle in __spark_entry__.py unrolls
+exactly this):
+  * init: hub = auth = 1.0 for every vertex
+  * per iteration:
+      auth'(v) = Σ_{u→v} hub(u)        then L2-normalize auths
+      hub'(u)  = Σ_{u→v} auth'(v)      then L2-normalize hubs
+  * fixed iterations (oracle form) or stop on L∞ delta <= tol
+
+Physical shape mirrors pagerank's broadcast plan: edges cached once,
+each half-step is a broadcast-probe of the V-row state into a
+partial+final HashAggregate — no E-row exchange per iteration. The L2
+norms are two scalar aggregates per iteration (the same driver-action
+budget as pagerank's dangling-mass sum).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph import pregel
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    max_iter: int = 20,
+    tol: float | None = None,
+    num_partitions: int | None = None,
+) -> pregel.PregelResult:
+    """Returns state (vid, hub, auth), L2-normalized per iteration."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition(num_partitions, "dst")
+        .persist()
+    )
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select("dst"))
+        .distinct()
+        .repartition(num_partitions, "vid")
+    )
+    state = verts.select(
+        "vid", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    ).localCheckpoint(eager=True)
+
+    metrics: list[dict] = []
+    it = 0
+    converged = False
+    while it < max_iter:
+        t0 = time.monotonic()
+        hubs = F.broadcast(state.select("vid", "hub"))
+        asum = (
+            e.join(hubs, e["src"] == hubs["vid"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("araw"))
+        )
+        a_unnorm = state.hint("merge").join(
+            asum, state["vid"] == asum["dst"], "left"
+        ).select("vid", "hub", F.coalesce("araw", F.lit(0.0)).alias("araw"))
+        a_norm = math.sqrt(
+            a_unnorm.agg(F.sum(F.col("araw") * F.col("araw"))).collect()[0][0] or 1.0
+        ) or 1.0
+        mid = a_unnorm.select(
+            "vid", "hub", (F.col("araw") / F.lit(a_norm)).alias("auth")
+        ).localCheckpoint(eager=True)
+
+        auths = F.broadcast(mid.select("vid", "auth"))
+        hsum = (
+            e.join(auths, e["dst"] == auths["vid"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hraw"))
+        )
+        h_unnorm = mid.hint("merge").join(
+            hsum, mid["vid"] == hsum["src"], "left"
+        ).select("vid", F.coalesce("hraw", F.lit(0.0)).alias("hraw"), "auth")
+        h_norm = math.sqrt(
+            h_unnorm.agg(F.sum(F.col("hraw") * F.col("hraw"))).collect()[0][0] or 1.0
+        ) or 1.0
+        new_state = h_unnorm.select(
+            "vid", (F.col("hraw") / F.lit(h_norm)).alias("hub"), "auth"
+        ).localCheckpoint(eager=True)
+
+        it += 1
+        delta = None
+        if tol is not None:
+            delta = max(
+                pregel.linf_delta(state, new_state, "vid", "hub"),
+                pregel.linf_delta(state, new_state, "vid", "auth"),
+            )
+        metrics.append(
+            {
+                "job_id": "hits",
+                "superstep": it,
+                "wall_s": round(time.monotonic() - t0, 4),
+                "delta": float(delta) if delta is not None else float("nan"),
+            }
+        )
+        state = new_state
+        if tol is not None and delta is not None and delta <= tol:
+            converged = True
+            break
+    e.unpersist()
+    return pregel.PregelResult(
+        state=state, iterations=it, converged=converged or tol is None, metrics=metrics
+    )

@@ -133,3 +133,31 @@ def test_personalized_pagerank(tiny_edges, graph):
     assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-5)
     # mass concentrates near the seeds
     assert got[0] > 1.0 / len(vertices)
+
+
+def test_hits_matches_numpy_oracle(spark):
+    import numpy as np
+
+    from linkgraph.algos.hits import hits
+
+    edges = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 4)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    res = hits(e, max_iter=4)
+    got = {r["vid"]: (r["hub"], r["auth"]) for r in res.state.collect()}
+
+    n = 5
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(4):
+        a = A.T @ h
+        a = a / (np.sqrt((a * a).sum()) or 1.0)
+        h = A @ a
+        h = h / (np.sqrt((h * h).sum()) or 1.0)
+    for v in range(n):
+        assert abs(got[v][0] - h[v]) < 1e-9 and abs(got[v][1] - a[v]) < 1e-9
+    # vertex 2 is the authority (3 in-links); 0 the hub (2 out-links to authorities)
+    assert max(got, key=lambda v: got[v][1]) == 2
+    assert max(got, key=lambda v: got[v][0]) == 0
