@@ -411,6 +411,16 @@ def _g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership by iterative peeling (k=90 peels a non-trivial
+    boundary of the dense mod-997 graph; 8 rounds — idempotent once
+    stable, so the fixed-round oracle matches regardless of early stop)."""
+    from linkgraph.algos.kcore import k_core
+
+    res = k_core(_edges(spark, sf_dir), k=90, max_iter=8)
+    return res.state.select("vid")
+
+
 def _g_hits3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities, 3 fixed iterations, L2-normalized."""
     from linkgraph.algos.hits import hits
@@ -695,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_reach3": _g_reach3,
         "g_ppr3": _g_ppr3,
         "g_hits3": _g_hits3,
+        "g_kcore": _g_kcore,
         "p1_gql_monotone": _p1_gql_monotone,
         "p2_gql_varlen": _p2_gql_varlen,
         "p3_gql_optional": _p3_gql_optional,
@@ -840,6 +851,27 @@ def _cc_sql(iters: int = 8) -> str:
 )"""
         )
     parts.append(f" SELECT vid, component FROM c{iters}")
+    return "\n".join(parts)
+
+
+def _kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    # MATERIALIZED: each u{i}/a{i} is referenced 2-3 times downstream and
+    # the chain is `rounds` deep — inlined CTEs re-evaluate exponentially
+    parts = [
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}),",
+        f"u0 AS MATERIALIZED ({UND_SQL})",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""", a{i} AS MATERIALIZED (
+  SELECT src AS vid FROM u{i} GROUP BY src HAVING COUNT(*) >= {k}
+), u{i + 1} AS MATERIALIZED (
+  SELECT u.src, u.dst FROM u{i} u
+  JOIN a{i} x ON u.src = x.vid
+  JOIN a{i} y ON u.dst = y.vid
+)"""
+        )
+    parts.append(f" SELECT DISTINCT src AS vid FROM u{rounds}")
     return "\n".join(parts)
 
 
@@ -1333,6 +1365,7 @@ SELECT entity, concept FROM (
         "g_pagerank5": _pagerank_sql(5),
         "g_ppr3": _ppr_sql(3),
         "g_hits3": _hits_sql(3),
+        "g_kcore": _kcore_sql(90, 8),
         "g_cc8": _cc_sql(8),
         "g_cc_conv": _cc_conv_sql(),
         "g_lpa4": _lpa_sql(4),

@@ -161,3 +161,20 @@ def test_hits_matches_numpy_oracle(spark):
     # vertex 2 is the authority (3 in-links); 0 the hub (2 out-links to authorities)
     assert max(got, key=lambda v: got[v][1]) == 2
     assert max(got, key=lambda v: got[v][0]) == 0
+
+
+def test_k_core_peeling(spark):
+    from linkgraph.algos.kcore import k_core
+
+    # K4 on {0,1,2,3} plus a tail 3-4-5: the 3-core is exactly the K4
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    e = spark.createDataFrame(k4 + [(3, 4), (4, 5)], "src bigint, dst bigint")
+    res = k_core(e, k=3)
+    assert res.converged
+    assert {r["vid"] for r in res.state.collect()} == {0, 1, 2, 3}
+    # peeling cascades: removing 5 drops 4's degree below 1? (k=2 case)
+    res2 = k_core(e, k=2)
+    assert {r["vid"] for r in res2.state.collect()} == {0, 1, 2, 3}
+    # k=1: everything with at least one edge survives
+    res1 = k_core(e, k=1)
+    assert {r["vid"] for r in res1.state.collect()} == {0, 1, 2, 3, 4, 5}
