@@ -608,6 +608,13 @@ def _d_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule filter: keep/reject + deterministic first-failing
+    reason per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.quality_filter(docs)
+
+
 def _d_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textstats.lang_id(docs)
@@ -715,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_text_stats": _d_text_stats,
         "d_word_topk": _d_word_topk,
         "d_lang_id": _d_lang_id,
+        "d_quality": _d_quality,
         "d_minhash_pairs": _d_minhash_pairs,
         "d_simhash": _d_simhash,
         "e_ann_topk": _e_ann_topk,
@@ -949,6 +957,40 @@ _STOP = {
     lang: words
     for lang, words in sorted(textstats.STOPWORDS.items())
 }
+
+
+def _quality_sql(
+    min_tokens: int = 10,
+    max_punct: float = 0.3,
+    min_stop: float = 0.01,
+    max_digit: float = 0.3,
+) -> str:
+    """DuckDB replica of textstats.quality_filter (same floor-truncated
+    ratios and rule order as the Spark side)."""
+    en = ", ".join(repr(w) for w in textstats.STOPWORDS["en"])
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    len({toks}) AS n_tokens,
+    FLOOR(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / GREATEST(LENGTH(text), 1) * 10000) / 10000 AS punct_ratio,
+    FLOOR(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+          / GREATEST(LENGTH(text), 1) * 10000) / 10000 AS digit_ratio,
+    FLOOR(CAST(len(list_filter({toks}, x -> x IN ({en}))) AS DOUBLE)
+          / GREATEST(len({toks}), 1) * 10000) / 10000 AS stopword_ratio
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+    CASE WHEN n_tokens < {min_tokens} THEN 'too_short'
+         WHEN punct_ratio > {max_punct} THEN 'punct_noise'
+         WHEN digit_ratio > {max_digit} THEN 'digit_noise'
+         WHEN stopword_ratio < {min_stop} THEN 'no_stopwords'
+         ELSE 'ok' END AS reject_reason
+  FROM s
+)
+SELECT doc_id, reject_reason, reject_reason = 'ok' AS keep FROM r"""
 
 
 def _langid_sql() -> str:
@@ -1386,6 +1428,7 @@ SELECT word, COUNT(*) AS n FROM (
   SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word FROM documents
 ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""",
         "d_lang_id": _langid_sql(),
+        "d_quality": _quality_sql(),
         "d_minhash_pairs": _minhash_pairs_sql(),
         "d_simhash": _simhash_sql(),
         "e_ann_topk": _ANN_SQL,

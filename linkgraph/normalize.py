@@ -246,3 +246,27 @@ def latest_snapshot(
         .where(F.col("__rn__") == 1)
         .drop("__rn__")
     )
+
+
+def host_of(url_col) -> "F.Column":
+    """Registered host of a canonical url (scheme://host/...)."""
+    return F.regexp_extract(url_col, r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+
+
+def host_graph(edges_urls: DataFrame) -> DataFrame:
+    """Collapse the page-level link graph to the HOST graph:
+    (src_host, dst_host, weight) with weight = number of page-level
+    links, self-host edges dropped — the standard web-graph rollup
+    (host-level PageRank/CC run orders of magnitude faster and feed
+    per-site quality signals back to page-level filtering).
+
+    Input: (src_url, dst_url, ...) canonical url edges. One groupBy on
+    two short host strings — at 100 TB the rollup output is millions of
+    rows, not billions."""
+    h = edges_urls.select(
+        host_of(F.col("src_url")).alias("src_host"),
+        host_of(F.col("dst_url")).alias("dst_host"),
+    ).where(F.col("src_host") != F.col("dst_host"))
+    return h.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("weight")
+    )

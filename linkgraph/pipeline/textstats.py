@@ -100,3 +100,35 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     xxhash64 of the whitespace-normalized lowercase text."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return docs.select(F.col(id_col), F.xxhash64(norm).alias("fp"))
+
+
+def quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.01,
+    max_digit_ratio: float = 0.3,
+) -> DataFrame:
+    """C4-style rule filter over the text_stats signals: returns
+    (id, keep, reject_reason) for every doc — reasons are deterministic
+    (first failing rule in a fixed order), so filter decisions audit and
+    oracle-check exactly. Compose as
+    ``docs.join(quality_filter(docs).where("keep"), id)`` to materialize
+    the kept corpus; the stats are one projection, so the filter adds no
+    shuffle."""
+    stats = text_stats(docs, id_col, text_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("punct_ratio") > max_punct_ratio, F.lit("punct_noise"))
+        .when(F.col("digit_ratio") > max_digit_ratio, F.lit("digit_noise"))
+        .when(
+            F.col("stopword_ratio") < min_stopword_ratio, F.lit("no_stopwords")
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return stats.select(
+        F.col(id_col),
+        reason.alias("reject_reason"),
+    ).withColumn("keep", F.col("reject_reason") == "ok")

@@ -310,3 +310,36 @@ def test_simhash_preserves_null_text_rows(spark):
     )
     got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert set(got) == {1, 2} and got[1] is not None and got[2] is None
+
+
+def test_quality_filter_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog walked to the house in the morning sun"),
+            (2, "short text"),
+            (3, "the " * 12 + "!!!???!!!***%%%$$$###@@@!!!???***"),
+            (4, "word1 word2 word3 word4 word5 word6 word7 word8 word9 word10 word11"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["reject_reason"]) for r in textstats.quality_filter(docs).collect()}
+    assert got[1] == (True, "ok")
+    assert got[2] == (False, "too_short")
+    assert got[3][0] is False and got[3][1] in ("punct_noise", "digit_noise")
+    assert got[4] == (False, "no_stopwords")  # no english stopwords
+
+
+def test_host_graph_rollup(spark):
+    from linkgraph.normalize import host_graph
+
+    e = spark.createDataFrame(
+        [
+            ("https://a.com/x", "https://b.com/y", "t"),
+            ("https://a.com/z", "https://b.com/w", "t"),
+            ("https://a.com/q", "https://a.com/r", "t"),  # self-host drops
+            ("https://b.com/1", "https://c.org/2", "t"),
+        ],
+        "src_url string, dst_url string, anchor string",
+    )
+    got = {(r["src_host"], r["dst_host"]): r["weight"] for r in host_graph(e).collect()}
+    assert got == {("a.com", "b.com"): 2, ("b.com", "c.org"): 1}
