@@ -34,6 +34,17 @@ SCALARS: dict[str, Callable[..., Column]] = {
     "lower": F.lower,
     "upper": F.upper,
     "str_contains": lambda c, s: F.contains(c, F.lit(s)),
+    # ContainsTag.java:20-43 — any tag of `value` (delimited set) appears
+    # in `tag_list` (delimited set); trimmed per element, empty -> false
+    "contains_tag": lambda value, tag_list, delim=",": F.coalesce(
+        F.arrays_overlap(
+            F.transform(F.split(value, delim), lambda x: F.trim(x)),
+            F.transform(F.split(tag_list, delim), lambda x: F.trim(x)),
+        )
+        & (F.length(value) > 0)
+        & (F.length(tag_list) > 0),
+        F.lit(False),
+    ),
     "str_length": F.length,
     "sub_str": lambda c, pos, ln: F.substring(c, pos, ln),
     "trim": F.trim,
@@ -51,6 +62,8 @@ SCALARS: dict[str, Callable[..., Column]] = {
     "time_diff": lambda a, b: F.unix_timestamp(a) - F.unix_timestamp(b),
     "day_of_week": F.dayofweek,
     "hour_of_day": F.hour,
+    "now": F.current_timestamp,  # Now.java (nondeterministic; no oracle)
+    "random": F.rand,  # Random.java (nondeterministic; no oracle)
     # math / misc (Abs.java, Cast.java, Hash.java, JsonStringGet.java, …)
     "abs": F.abs,
     "floor": F.floor,

@@ -275,3 +275,27 @@ def test_var_len_paths_per_src_limit(spark):
     assert {tuple((p["src"], p["dst"]) for p in r["path"]) for r in two_hop} == {
         ((1, 3), (3, 4))
     }
+
+
+def test_contains_tag_and_now_random(spark):
+    from linkgraph.functions import SCALARS
+
+    df = spark.createDataFrame(
+        [
+            ("a, b", "b,c"),
+            ("a,b", "c,d"),
+            ("", "a"),
+            (None, "a"),
+            ("x", ""),
+        ],
+        "v string, t string",
+    )
+    got = [
+        r["m"]
+        for r in df.select(SCALARS["contains_tag"](F.col("v"), F.col("t")).alias("m")).collect()
+    ]
+    assert got == [True, False, False, False, False]
+    row = spark.range(1).select(
+        SCALARS["now"]().alias("ts"), SCALARS["random"]().alias("r")
+    ).collect()[0]
+    assert row["ts"] is not None and 0.0 <= row["r"] < 1.0
