@@ -983,7 +983,8 @@ WITH s AS (
 ),
 r AS (
   SELECT doc_id,
-    CASE WHEN n_tokens < {min_tokens} THEN 'too_short'
+    CASE WHEN n_tokens IS NULL THEN 'no_text'
+         WHEN n_tokens < {min_tokens} THEN 'too_short'
          WHEN punct_ratio > {max_punct} THEN 'punct_noise'
          WHEN digit_ratio > {max_digit} THEN 'digit_noise'
          WHEN stopword_ratio < {min_stop} THEN 'no_stopwords'

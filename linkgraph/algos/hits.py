@@ -16,7 +16,13 @@ Physical shape mirrors pagerank's broadcast plan: edges cached once,
 each half-step is a broadcast-probe of the V-row state into a
 partial+final HashAggregate — no E-row exchange per iteration. The L2
 norms are two scalar aggregates per iteration (the same driver-action
-budget as pagerank's dangling-mass sum).
+budget as pagerank's dangling-mass sum), each over an
+already-checkpointed frame so nothing expensive executes twice.
+
+The loop is hand-rolled rather than pregel.run_pregel because one HITS
+superstep is TWO half-steps with a mid-superstep scalar collect and a
+two-column delta; the cost is that hits() has no checkpoint/resume —
+acceptable for a 10-20-iteration kernel, noted here deliberately.
 """
 
 from __future__ import annotations
@@ -68,15 +74,21 @@ def hits(
             .groupBy("dst")
             .agg(F.sum("hub").alias("araw"))
         )
-        a_unnorm = state.hint("merge").join(
-            asum, state["vid"] == asum["dst"], "left"
-        ).select("vid", "hub", F.coalesce("araw", F.lit(0.0)).alias("araw"))
+        # checkpoint the raw sums BEFORE the norm collect: otherwise the
+        # norm aggregate and the downstream plan would each execute the
+        # expensive join+aggregate once (2x per half-step)
+        a_unnorm = (
+            state.hint("merge")
+            .join(asum, state["vid"] == asum["dst"], "left")
+            .select("vid", "hub", F.coalesce("araw", F.lit(0.0)).alias("araw"))
+            .localCheckpoint(eager=True)
+        )
         a_norm = math.sqrt(
             a_unnorm.agg(F.sum(F.col("araw") * F.col("araw"))).collect()[0][0] or 1.0
         ) or 1.0
         mid = a_unnorm.select(
             "vid", "hub", (F.col("araw") / F.lit(a_norm)).alias("auth")
-        ).localCheckpoint(eager=True)
+        )
 
         auths = F.broadcast(mid.select("vid", "auth"))
         hsum = (
@@ -84,15 +96,18 @@ def hits(
             .groupBy("src")
             .agg(F.sum("auth").alias("hraw"))
         )
-        h_unnorm = mid.hint("merge").join(
-            hsum, mid["vid"] == hsum["src"], "left"
-        ).select("vid", F.coalesce("hraw", F.lit(0.0)).alias("hraw"), "auth")
+        h_unnorm = (
+            mid.hint("merge")
+            .join(hsum, mid["vid"] == hsum["src"], "left")
+            .select("vid", F.coalesce("hraw", F.lit(0.0)).alias("hraw"), "auth")
+            .localCheckpoint(eager=True)
+        )
         h_norm = math.sqrt(
             h_unnorm.agg(F.sum(F.col("hraw") * F.col("hraw"))).collect()[0][0] or 1.0
         ) or 1.0
         new_state = h_unnorm.select(
             "vid", (F.col("hraw") / F.lit(h_norm)).alias("hub"), "auth"
-        ).localCheckpoint(eager=True)
+        )
 
         it += 1
         delta = None

@@ -44,6 +44,7 @@ def k_core(
     metrics: list[dict] = []
     it = 0
     converged = False
+    n_edges = und.count()  # carried forward; equals last round's pruned count
     while it < max_iter:
         t0 = time.monotonic()
         alive = (
@@ -61,7 +62,9 @@ def k_core(
             )
             .localCheckpoint(eager=True)
         )
-        removed = und.count() - pruned.count()
+        n_pruned = pruned.count()
+        removed = n_edges - n_pruned
+        n_edges = n_pruned
         it += 1
         metrics.append(
             {

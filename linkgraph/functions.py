@@ -12,6 +12,7 @@ under /root/reference/reasoner/udf/src/main/java/com/antgroup/openspg/reasoner/u
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import Column
@@ -34,12 +35,17 @@ SCALARS: dict[str, Callable[..., Column]] = {
     "lower": F.lower,
     "upper": F.upper,
     "str_contains": lambda c, s: F.contains(c, F.lit(s)),
-    # ContainsTag.java:20-43 — any tag of `value` (delimited set) appears
-    # in `tag_list` (delimited set); trimmed per element, empty -> false
+    # ContainsTag.java:20-43 — any TRIMMED tag of `tag_list` appears in
+    # the RAW (untrimmed) element set of `value`; empty/null -> false.
+    # The delimiter is a literal (Guava Splitter.on), so escape it before
+    # handing it to F.split's regex.
     "contains_tag": lambda value, tag_list, delim=",": F.coalesce(
         F.arrays_overlap(
-            F.transform(F.split(value, delim), lambda x: F.trim(x)),
-            F.transform(F.split(tag_list, delim), lambda x: F.trim(x)),
+            F.split(value, re.escape(delim)),
+            F.transform(
+                F.split(tag_list, re.escape(delim)),
+                lambda x: F.trim(x),
+            ),
         )
         & (F.length(value) > 0)
         & (F.length(tag_list) > 0),

@@ -266,7 +266,14 @@ def host_graph(edges_urls: DataFrame) -> DataFrame:
     h = edges_urls.select(
         host_of(F.col("src_url")).alias("src_host"),
         host_of(F.col("dst_url")).alias("dst_host"),
-    ).where(F.col("src_host") != F.col("dst_host"))
+    ).where(
+        (F.col("src_host") != F.col("dst_host"))
+        # regex-miss urls (relative/malformed pass canonicalize_url
+        # verbatim) yield '' — drop them, never aggregate under a
+        # phantom empty host
+        & (F.col("src_host") != "")
+        & (F.col("dst_host") != "")
+    )
     return h.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).alias("weight")
     )

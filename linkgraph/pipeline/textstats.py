@@ -120,7 +120,10 @@ def quality_filter(
     shuffle."""
     stats = text_stats(docs, id_col, text_col)
     reason = (
-        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        # NULL text first: every comparison below is NULL on it and would
+        # fall through to 'ok'
+        F.when(F.col("n_tokens").isNull(), F.lit("no_text"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
         .when(F.col("punct_ratio") > max_punct_ratio, F.lit("punct_noise"))
         .when(F.col("digit_ratio") > max_digit_ratio, F.lit("digit_noise"))
         .when(

@@ -158,7 +158,10 @@ def running_degree(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out_schema = f"{src_col} bigint, running_degree bigint"
+    # derive the key's output type from the input schema (string hosts,
+    # long vids, ... all valid keys)
+    key_type = stream_df.schema[src_col].dataType.simpleString()
+    out_schema = f"{src_col} {key_type}, running_degree bigint"
     state_schema = "total long"
 
     def _update(key, pdf_iter, state):

@@ -282,7 +282,8 @@ def test_contains_tag_and_now_random(spark):
 
     df = spark.createDataFrame(
         [
-            ("a, b", "b,c"),
+            ("a,b", "b,c"),     # raw value element 'b' matches trimmed tag
+            ("a, b", " b ,c"),  # tag ' b ' trims to 'b', value ' b' stays raw
             ("a,b", "c,d"),
             ("", "a"),
             (None, "a"),
@@ -294,7 +295,13 @@ def test_contains_tag_and_now_random(spark):
         r["m"]
         for r in df.select(SCALARS["contains_tag"](F.col("v"), F.col("t")).alias("m")).collect()
     ]
-    assert got == [True, False, False, False, False]
+    # reference parity (ContainsTag.java): tags trimmed, value set RAW
+    assert got == [True, False, False, False, False, False]
+    # literal (non-regex) delimiter: '.' must not split every character
+    lit = df.limit(1).select(
+        SCALARS["contains_tag"](F.lit("ab"), F.lit("cd"), ".").alias("m")
+    ).collect()[0]["m"]
+    assert lit is False
     row = spark.range(1).select(
         SCALARS["now"]().alias("ts"), SCALARS["random"]().alias("r")
     ).collect()[0]

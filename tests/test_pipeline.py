@@ -343,3 +343,25 @@ def test_host_graph_rollup(spark):
     )
     got = {(r["src_host"], r["dst_host"]): r["weight"] for r in host_graph(e).collect()}
     assert got == {("a.com", "b.com"): 2, ("b.com", "c.org"): 1}
+
+
+def test_quality_filter_null_text(spark):
+    from linkgraph.pipeline import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog walked to the house in the morning"), (2, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["reject_reason"]) for r in ts.quality_filter(docs).collect()}
+    assert got[1] == (True, "ok") and got[2] == (False, "no_text")
+
+
+def test_host_graph_drops_malformed_urls(spark):
+    from linkgraph.normalize import host_graph
+
+    e = spark.createDataFrame(
+        [("/relative", "https://b.com/x", "t"), ("https://a.com/1", "https://b.com/2", "t")],
+        "src_url string, dst_url string, anchor string",
+    )
+    got = {(r["src_host"], r["dst_host"]) for r in host_graph(e).collect()}
+    assert got == {("a.com", "b.com")}

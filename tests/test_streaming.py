@@ -148,3 +148,24 @@ def test_running_degree_stateful_across_batches(spark, tmp_path):
     assert any(
         r["running_degree"] < finals[r["src"]] for r in rows
     ) or len(rows) == 3
+
+
+def test_running_degree_string_keys(spark, tmp_path):
+    import datetime as dt
+
+    d = tmp_path / "rdh"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a.com", 1, t0), ("a.com", 2, t0), ("b.com", 3, t0)]
+    schema = "src_host string, dst bigint, ts timestamp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / "in"))
+    stream = spark.readStream.schema(schema).parquet(str(d / "in"))
+    deg = streaming.running_degree(stream, src_col="src_host")
+    q = (
+        deg.writeStream.format("memory").queryName("rdh_out")
+        .outputMode("update").option("checkpointLocation", str(d / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["src_host"]: r["running_degree"] for r in spark.sql("SELECT * FROM rdh_out").collect()}
+    assert got == {"a.com": 2, "b.com": 1}
