@@ -103,6 +103,7 @@ class EdgePat:
     lower: int | None = None  # var-len bounds; None = single edge
     upper: int | None = None
     undirected: bool = False  # (a)-[e]-(b): Direction.BOTH
+    limit: int | None = None  # per-source fanout cap (PatternConnection.limit)
 
     @property
     def is_varlen(self) -> bool:
@@ -237,7 +238,7 @@ class _Parser:
         while self.peek() in (("op", "-"), ("op", "<-")):
             back = self.next()[1] == "<-"
             alias = rel = None
-            lower = upper = None
+            lower = upper = elimit = None
             if self.accept("op", "["):
                 if self.peek()[0] == "name":
                     alias = self.next()[1]
@@ -250,6 +251,8 @@ class _Parser:
                     lower = int(self.expect("num")[1])
                     self.expect("op", "..")
                     upper = int(self.expect("num")[1])
+                if self.accept("kw", "limit"):  # per-source fanout cap
+                    elimit = int(self.expect("num")[1])
                 self.expect("op", "]")
             undirected = False
             if back:
@@ -267,7 +270,9 @@ class _Parser:
                 if any(ep.alias == alias for ep in q.edges):
                     raise SyntaxError(f"duplicate edge alias {alias!r}")
             src, dst = (right, left) if back else (left, right)
-            q.edges.append(EdgePat(src, dst, alias, rel, lower, upper, undirected))
+            q.edges.append(
+                EdgePat(src, dst, alias, rel, lower, upper, undirected, elimit)
+            )
             left = right
 
     def _node(self, q: Query) -> str:
@@ -682,6 +687,17 @@ def _join_edge(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), *props
             )
         )
+    if e.limit is not None and not e.is_varlen:
+        # PatternConnection.limit: deterministic per-source fanout cap
+        # (var-len edges pass it through to var_len_expand_paths below)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("src").orderBy(F.col("dst").asc())
+        edf = (
+            edf.withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") <= e.limit)
+            .drop("__rn__")
+        )
     if e.is_varlen:
         props = [c for c in edf.columns if c not in ("src", "dst")]
         # traverse from whichever endpoint is bound; a dst-only binding
@@ -698,7 +714,12 @@ def _join_edge(
         from_alias, to_alias = (e.dst, e.src) if reverse else (e.src, e.dst)
         frontier = df.select(F.col(f"{from_alias}__vid").alias("vid")).distinct()
         paths = var_len_expand_paths(
-            frontier, walk_edges, e.lower, e.upper, edge_props=props
+            frontier,
+            walk_edges,
+            e.lower,
+            e.upper,
+            edge_props=props,
+            per_src_limit=e.limit,
         )
         path_col = F.col("path")
         if reverse:  # un-swap each edge and restore forward order

@@ -311,3 +311,24 @@ def test_alias_collisions_rejected():
         parse("MATCH (a)-[x:E]->(b), (x)-[:E]->(c) RETURN x.ts AS t")
     with pytest.raises(SyntaxError):
         parse("MATCH (a)-[e]->(b), (b)-[e]->(c) RETURN e.ts AS t")
+
+
+def test_edge_limit_fanout_cap(g):
+    q = parse("MATCH (a)-[e LIMIT 1]->(b) RETURN a AS a, b AS b")
+    assert q.edges[0].limit == 1
+    got = {
+        (r["a"], r["b"])
+        for r in compile_query(q, g).collect()
+    }
+    # deterministic top-1 by dst per source: 1->2, 2->3, 3->4, 4->5
+    assert got == {(1, 2), (2, 3), (3, 4), (4, 5)}
+    # var-len form: cap applies per hop
+    v = {
+        (r["a"], r["b"])
+        for r in compile_query(
+            "MATCH (a)-[e*1..2 LIMIT 1]->(b) WHERE a.vid = 1 "
+            "RETURN DISTINCT a AS a, b AS b",
+            g,
+        ).collect()
+    }
+    assert v == {(1, 2), (1, 3)}  # 1->2 then 2->3 only
