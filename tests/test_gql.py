@@ -332,3 +332,39 @@ def test_edge_limit_fanout_cap(g):
         ).collect()
     }
     assert v == {(1, 2), (1, 3)}  # 1->2 then 2->3 only
+
+
+def test_parser_fuzz_no_crash_and_deterministic():
+    """Seeded fuzz over the grammar: every generated string parses to the
+    same AST twice (determinism) and never raises anything but
+    SyntaxError on mutation."""
+    import random
+
+    rng = random.Random(99)
+    labels = ["", ":User", ":Org"]
+    rels = ["", ":E", ":A|B", ":E*1..3", ":E LIMIT 2", ":A|B*1..2 LIMIT 1"]
+    arrows = [("-[{}]->", False), ("<-[{}]-", False), ("-[{}]-", False)]
+    for _ in range(120):
+        n = rng.randrange(1, 4)
+        chunks = []
+        for i in range(n):
+            a1 = f"n{rng.randrange(4)}"
+            a2 = f"n{rng.randrange(4)}"
+            arrow, _ = arrows[rng.randrange(len(arrows))]
+            e = rng.choice(rels)
+            ealias = f"e{i}" if rng.random() < 0.5 and e else ""
+            lab = rng.choice(labels)
+            chunks.append(f"({a1}{lab}){arrow.format(ealias + e)}({a2})")
+        where = " WHERE n0.vid >= 0" if rng.random() < 0.5 else ""
+        dsl = f"MATCH {', '.join(chunks)}{where} RETURN n0.vid AS v LIMIT 5"
+        try:
+            q1, q2 = parse(dsl), parse(dsl)
+            assert q1.edges == q2.edges and q1.nodes == q2.nodes
+        except SyntaxError:
+            pass  # duplicate edge aliases etc. — rejection is fine
+        # mutate: truncate at a random point; must fail cleanly if at all
+        cut = dsl[: rng.randrange(len(dsl))]
+        try:
+            parse(cut)
+        except SyntaxError:
+            pass

@@ -169,3 +169,24 @@ def test_running_degree_string_keys(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["src_host"]: r["running_degree"] for r in spark.sql("SELECT * FROM rdh_out").collect()}
     assert got == {"a.com": 2, "b.com": 1}
+
+
+def test_running_degree_hot_threshold(spark, tmp_path):
+    import datetime as dt
+
+    d = tmp_path / "rdt"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, i, t0) for i in range(5)] + [(2, 9, t0)]
+    schema = "src bigint, dst bigint, ts timestamp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / "in"))
+    stream = spark.readStream.schema(schema).parquet(str(d / "in"))
+    deg = streaming.running_degree(stream, hot_threshold=3)
+    q = (
+        deg.writeStream.format("memory").queryName("rdt_out")
+        .outputMode("update").option("checkpointLocation", str(d / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["src"] for r in spark.sql("SELECT * FROM rdt_out").collect()}
+    assert got == {1}  # only the hot source crosses the threshold
