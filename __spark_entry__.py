@@ -608,6 +608,19 @@ def _d_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training chunking: fixed token windows with overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+def _d_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal (corpus-wide repeated lines
+    dropped, docs reassembled; single-line corpus -> exact-dup docs empty)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.line_dedup(docs)
+
+
 def _d_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style rule filter: keep/reject + deterministic first-failing
     reason per doc."""
@@ -723,6 +736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_word_topk": _d_word_topk,
         "d_lang_id": _d_lang_id,
         "d_quality": _d_quality,
+        "d_chunks": _d_chunks,
+        "d_line_dedup": _d_line_dedup,
         "d_minhash_pairs": _d_minhash_pairs,
         "d_simhash": _d_simhash,
         "e_ann_topk": _e_ann_topk,
@@ -1430,6 +1445,39 @@ SELECT word, COUNT(*) AS n FROM (
 ) GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""",
         "d_lang_id": _langid_sql(),
         "d_quality": _quality_sql(),
+        "d_chunks": r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         GREATEST(CAST(CEIL(CAST(len(toks) - 8 AS DOUBLE) / 24) AS INT), 1) AS n_chunks
+  FROM t
+),
+ex AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS k FROM c)
+SELECT doc_id, CAST(k AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, k * 24 + 1, k * 24 + 32), ' ') AS chunk_text,
+       len(list_slice(toks, k * 24 + 1, k * 24 + 32)) AS n_tokens
+FROM ex""",
+        "d_line_dedup": """
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS l FROM documents),
+ln AS (
+  SELECT doc_id, CAST(unnest(range(0, len(l))) AS INT) AS line_no, unnest(l) AS line
+  FROM t
+),
+k AS (SELECT doc_id, line_no, line, md5(trim(line)) AS key FROM ln),
+bad AS (
+  SELECT key FROM (SELECT DISTINCT doc_id, key FROM k) d
+  GROUP BY key HAVING COUNT(*) > 1
+),
+kept AS (SELECT k.* FROM k LEFT JOIN bad ON k.key = bad.key WHERE bad.key IS NULL),
+re AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(re.text, '') AS text
+FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id""",
         "d_minhash_pairs": _minhash_pairs_sql(),
         "d_simhash": _simhash_sql(),
         "e_ann_topk": _ANN_SQL,

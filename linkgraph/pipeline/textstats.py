@@ -135,3 +135,83 @@ def quality_filter(
         F.col(id_col),
         reason.alias("reject_reason"),
     ).withColumn("keep", F.col("reject_reason") == "ok")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-training chunking step. Returns
+    (id, chunk_id, chunk_text, n_tokens); chunk k covers tokens
+    [k*(chunk-overlap), k*(chunk-overlap)+chunk). Pure Catalyst: one
+    split + sequence/transform + posexplode, so the only data movement is
+    the output itself."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / step).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.slice(toks, k * step + 1, chunk_tokens),
+    )
+    ex = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__toks__")
+    )
+    return ex.select(
+        F.col(id_col),
+        "chunk_id",
+        F.array_join("__toks__", " ").alias("chunk_text"),
+        F.size("__toks__").alias("n_tokens"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every LINE whose exact
+    (trimmed) text appears in more than ``max_occurrences`` documents
+    across the corpus (navbars, cookie banners, footers), then reassemble
+    each doc from its surviving lines in order.
+
+    Two shuffles total, both on short keys: line-hash counts (map-side
+    combined), then the line-level anti-join back; reassembly groups by
+    doc id. Returns (id, text) with the cleaned text ('' if everything
+    was boilerplate)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("line_no", "line"),
+    ).withColumn("__key__", F.md5(F.trim(F.col("line"))))
+    counts = (
+        lines.select(id_col, "__key__")
+        .distinct()
+        .groupBy("__key__")
+        .agg(F.count(F.lit(1)).alias("__docs__"))
+        .where(F.col("__docs__") > max_occurrences)
+        .select("__key__")
+    )
+    kept = lines.join(counts, "__key__", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    # preserve cardinality: a doc whose every line was boilerplate comes
+    # back as '' instead of vanishing
+    return docs.select(F.col(id_col)).join(reassembled, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )

@@ -365,3 +365,46 @@ def test_host_graph_drops_malformed_urls(spark):
     )
     got = {(r["src_host"], r["dst_host"]) for r in host_graph(e).collect()}
     assert got == {("a.com", "b.com")}
+
+
+def test_chunk_documents(spark):
+    from linkgraph.pipeline import textstats as ts
+
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text), (2, "a b")], "doc_id bigint, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in ts.chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    )
+    # doc 1: step 3 -> chunks [0..3],[3..6],[6..9],[9]
+    assert got == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t3 t4 t5 t6", 4),
+        (1, 2, "t6 t7 t8 t9", 4),
+        (2, 0, "a b", 2),
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        ts.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_line_dedup_boilerplate(spark):
+    from linkgraph.pipeline import textstats as ts
+
+    nav = "home | about | contact"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{nav}\nunique content one\nfooter"),
+            (2, f"{nav}\nother unique text\nfooter"),
+            (3, f"{nav}\nfooter"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in ts.line_dedup(docs).collect()}
+    # nav + footer appear in >1 doc -> dropped; order of surviving lines kept
+    assert got == {
+        1: "unique content one",
+        2: "other unique text",
+        3: "",  # fully boilerplate, row preserved
+    }
