@@ -411,6 +411,26 @@ def _g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g_walks5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic random walks (DeepWalk corpus shape), length
+    5 from the sub-10 vids of the 211-mod graph."""
+    from linkgraph.algos.walks import random_walks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 211).alias("src"),
+            (F.col("l_partkey") % 211).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    starts = (
+        e.select(F.col("src").alias("vid")).where(F.col("vid") < 10).distinct()
+    )
+    return random_walks(e, walk_length=5, seed=7, starts=starts)
+
+
 def _g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core membership by iterative peeling (k=90 peels a non-trivial
     boundary of the dense mod-997 graph; 8 rounds — idempotent once
@@ -726,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_ppr3": _g_ppr3,
         "g_hits3": _g_hits3,
         "g_kcore": _g_kcore,
+        "g_walks5": _g_walks5,
         "p1_gql_monotone": _p1_gql_monotone,
         "p2_gql_varlen": _p2_gql_varlen,
         "p3_gql_optional": _p3_gql_optional,
@@ -874,6 +895,46 @@ def _cc_sql(iters: int = 8) -> str:
 )"""
         )
     parts.append(f" SELECT vid, component FROM c{iters}")
+    return "\n".join(parts)
+
+
+def _walks_sql(length: int = 5, seed: int = 7, max_start: int = 10) -> str:
+    """Unrolled deterministic-walk oracle: identical per-source rank,
+    degree, and affine neighbor choice as algos/walks.py."""
+    from linkgraph.pipeline import phash
+
+    (a, b) = phash.seeded_coeffs(1, seed)[0]
+    parts = [
+        """WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % 211 AS src, l_partkey % 211 AS dst
+  FROM lineitem WHERE l_orderkey % 211 <> l_partkey % 211
+),
+ranked AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst ASC) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM e
+),
+w0 AS MATERIALIZED (
+  SELECT src AS walk_id, src AS vid FROM (SELECT DISTINCT src FROM e) t
+  WHERE src < """ + str(max_start) + """
+)"""
+    ]
+    for t in range(1, length + 1):
+        choice = (
+            f"((((w.vid * 1000003 + {t}) % {phash.P}) * {a} + {b}) % {phash.P}) % r.deg"
+        )
+        parts.append(
+            f""", w{t} AS MATERIALIZED (
+  SELECT w.walk_id, r.dst AS vid
+  FROM w{t - 1} w JOIN ranked r ON w.vid = r.src AND r.rn = {choice}
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS INT) AS step, vid FROM w{t}"
+        for t in range(0, length + 1)
+    )
+    parts.append(" " + selects)
     return "\n".join(parts)
 
 
@@ -1424,6 +1485,7 @@ SELECT entity, concept FROM (
         "g_ppr3": _ppr_sql(3),
         "g_hits3": _hits_sql(3),
         "g_kcore": _kcore_sql(90, 8),
+        "g_walks5": _walks_sql(5, 7, 10),
         "g_cc8": _cc_sql(8),
         "g_cc_conv": _cc_conv_sql(),
         "g_lpa4": _lpa_sql(4),

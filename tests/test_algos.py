@@ -178,3 +178,25 @@ def test_k_core_peeling(spark):
     # k=1: everything with at least one edge survives
     res1 = k_core(e, k=1)
     assert {r["vid"] for r in res1.state.collect()} == {0, 1, 2, 3, 4, 5}
+
+
+def test_random_walks_deterministic_and_dead_ends(spark):
+    from linkgraph.algos.walks import random_walks, walk_sequences
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src bigint, dst bigint"
+    )  # 4 is a dead end
+    w1 = {(r["walk_id"], r["step"], r["vid"]) for r in random_walks(e, 3).collect()}
+    w2 = {(r["walk_id"], r["step"], r["vid"]) for r in random_walks(e, 3).collect()}
+    assert w1 == w2  # seeded determinism across runs
+    seqs = {r["walk_id"]: r["seq"] for r in walk_sequences(random_walks(e, 3)).collect()}
+    # every walk starts at its id and follows real edges until a dead end
+    edges = {(1, 2), (1, 3), (2, 4), (3, 4)}
+    for wid, seq in seqs.items():
+        assert seq[0] == wid
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in edges
+        assert seq[-1] == 4  # all paths sink at the dead end
+    # a different seed can choose differently somewhere
+    alt = {r["walk_id"]: r["seq"] for r in walk_sequences(random_walks(e, 3, seed=99)).collect()}
+    assert set(alt) == set(seqs)
