@@ -922,7 +922,7 @@ w0 AS MATERIALIZED (
     ]
     for t in range(1, length + 1):
         choice = (
-            f"((((w.vid * 1000003 + {t}) % {phash.P}) * {a} + {b}) % {phash.P}) % r.deg"
+            f"(((((w.vid % {phash.P}) * 1000003 + {t}) % {phash.P}) * {a} + {b}) % {phash.P}) % r.deg"
         )
         parts.append(
             f""", w{t} AS MATERIALIZED (

@@ -65,15 +65,25 @@ def random_walks(
             F.col("__rn__").alias(f"__r{t}__"),
             F.col("__deg__").alias(f"__g{t}__"),
         )
-        # portable pseudo-random neighbor choice for (vertex, step)
-        x = (F.col("vid") * F.lit(_STEP_MIX) + F.lit(t)) % F.lit(phash.P)
+        # portable pseudo-random neighbor choice for (vertex, step);
+        # reduce vid mod P FIRST — raw 64-bit ids (hash vids) times the
+        # mixer would overflow int64 (phash discipline: stay < 2^60)
+        x = (
+            (F.col("vid") % F.lit(phash.P)) * F.lit(_STEP_MIX) + F.lit(t)
+        ) % F.lit(phash.P)
         choice = ((x * F.lit(a) + F.lit(b)) % F.lit(phash.P)) % F.col(f"__g{t}__")
+        # checkpoint each frontier: union branches don't share subplans,
+        # so un-materialized steps would re-run the whole join chain per
+        # branch (O(L^2) joins) — same discipline as the other kernels
         cur = (
             cur.join(r_t, F.col("vid") == F.col(f"__s{t}__"))
             .where(F.col(f"__r{t}__") == choice)
             .select("walk_id", F.col(f"__d{t}__").alias("vid"))
+            .localCheckpoint(eager=True)
         )
         out = out.unionByName(cur.withColumn("step", F.lit(t)))
+    out = out.localCheckpoint(eager=True)
+    ranked.unpersist()
     return out
 
 

@@ -687,17 +687,14 @@ def _join_edge(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), *props
             )
         )
-    if e.limit is not None and not e.is_varlen:
-        # PatternConnection.limit: deterministic per-source fanout cap
-        # (var-len edges pass it through to var_len_expand_paths below)
-        from pyspark.sql import Window
+    if e.limit is not None:
+        # PatternConnection.limit: deterministic per-source fanout cap,
+        # applied on the TRUE edge orientation BEFORE any reverse-walk
+        # swap — a dst-rooted var-len traversal must see the same capped
+        # edge set as the forward form
+        from linkgraph.ops import cap_fanout
 
-        w = Window.partitionBy("src").orderBy(F.col("dst").asc())
-        edf = (
-            edf.withColumn("__rn__", F.row_number().over(w))
-            .where(F.col("__rn__") <= e.limit)
-            .drop("__rn__")
-        )
+        edf = cap_fanout(edf, e.limit)
     if e.is_varlen:
         props = [c for c in edf.columns if c not in ("src", "dst")]
         # traverse from whichever endpoint is bound; a dst-only binding
@@ -713,13 +710,9 @@ def _join_edge(
             )
         from_alias, to_alias = (e.dst, e.src) if reverse else (e.src, e.dst)
         frontier = df.select(F.col(f"{from_alias}__vid").alias("vid")).distinct()
+        # the fanout cap was already applied to the true orientation above
         paths = var_len_expand_paths(
-            frontier,
-            walk_edges,
-            e.lower,
-            e.upper,
-            edge_props=props,
-            per_src_limit=e.limit,
+            frontier, walk_edges, e.lower, e.upper, edge_props=props
         )
         path_col = F.col("path")
         if reverse:  # un-swap each edge and restore forward order

@@ -114,6 +114,22 @@ def var_len_expand(
     return out
 
 
+def cap_fanout(edges: DataFrame, limit: int) -> DataFrame:
+    """Deterministic per-source fanout cap (PatternConnection.limit):
+    keep each src's top-``limit`` edges ordered by dst THEN every other
+    column (name order) — parallel edges / type-union rows tie on dst
+    alone and would survive nondeterministically otherwise."""
+    order = [F.col("dst").asc()] + [
+        F.col(c).asc() for c in sorted(edges.columns) if c not in ("src", "dst")
+    ]
+    w = Window.partitionBy("src").orderBy(*order)
+    return (
+        edges.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= limit)
+        .drop("__rn__")
+    )
+
+
 def var_len_expand_paths(
     frontier: DataFrame,
     edges: DataFrame,
@@ -150,12 +166,7 @@ def var_len_expand_paths(
     from pyspark.sql import types as T
 
     if per_src_limit is not None:
-        w = Window.partitionBy("src").orderBy(F.col("dst").asc())
-        edges = (
-            edges.withColumn("__rn__", F.row_number().over(w))
-            .where(F.col("__rn__") <= per_src_limit)
-            .drop("__rn__")
-        )
+        edges = cap_fanout(edges, per_src_limit)
     fields = ["src", "dst", *edge_props]
     st = T.StructType([edges.schema[f] for f in fields])
     cur = frontier.select(
