@@ -411,6 +411,25 @@ def _g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g_wpagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, 3 fixed iterations, weight = parallel link
+    count of the mod-997 graph (the host-graph shape)."""
+    from linkgraph.algos.wpagerank import weighted_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    we = (
+        li.select(
+            (F.col("l_orderkey") % _MOD).alias("src"),
+            (F.col("l_partkey") % _MOD).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    res = weighted_pagerank(we, max_iter=3)
+    return res.state.select("vid", F.round("score", 6).alias("score"))
+
+
 def _g_walks5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic random walks (DeepWalk corpus shape), length
     5 from the sub-10 vids of the 211-mod graph."""
@@ -747,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_hits3": _g_hits3,
         "g_kcore": _g_kcore,
         "g_walks5": _g_walks5,
+        "g_wpagerank3": _g_wpagerank3,
         "p1_gql_monotone": _p1_gql_monotone,
         "p2_gql_varlen": _p2_gql_varlen,
         "p3_gql_optional": _p3_gql_optional,
@@ -895,6 +915,45 @@ def _cc_sql(iters: int = 8) -> str:
 )"""
         )
     parts.append(f" SELECT vid, component FROM c{iters}")
+    return "\n".join(parts)
+
+
+def _wpagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled weighted-PageRank oracle (weight-proportional
+    transitions; weights are exact integer counts, so the fraction
+    denominators match bit-for-bit across engines)."""
+    parts = [
+        f"""WITH we AS MATERIALIZED (
+  SELECT l_orderkey % {_MOD} AS src, l_partkey % {_MOD} AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem WHERE l_orderkey % {_MOD} <> l_partkey % {_MOD}
+  GROUP BY 1, 2
+),
+frac AS MATERIALIZED (
+  SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS frac FROM we
+),
+verts AS MATERIALIZED (SELECT src AS vid FROM we UNION SELECT dst FROM we),
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+hasout AS MATERIALIZED (SELECT DISTINCT src AS vid FROM we),
+r0 AS (SELECT vid, 1.0/(SELECT n FROM nv) AS score FROM verts)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", dang{i} AS (
+  SELECT COALESCE(SUM(r.score), 0.0) AS s
+  FROM r{i} r LEFT JOIN hasout h ON r.vid = h.vid WHERE h.vid IS NULL
+), m{i} AS (
+  SELECT f.dst AS vid, SUM(r.score * f.frac) AS ms
+  FROM frac f JOIN r{i} r ON f.src = r.vid GROUP BY f.dst
+), r{i + 1} AS (
+  SELECT v.vid,
+         (1 - {damping})/(SELECT n FROM nv)
+         + {damping} * (SELECT s FROM dang{i})/(SELECT n FROM nv)
+         + {damping} * COALESCE(m.ms, 0.0) AS score
+  FROM verts v LEFT JOIN m{i} m ON v.vid = m.vid
+)"""
+        )
+    parts.append(f" SELECT vid, ROUND(score, 6) AS score FROM r{iters}")
     return "\n".join(parts)
 
 
@@ -1486,6 +1545,7 @@ SELECT entity, concept FROM (
         "g_hits3": _hits_sql(3),
         "g_kcore": _kcore_sql(90, 8),
         "g_walks5": _walks_sql(5, 7, 10),
+        "g_wpagerank3": _wpagerank_sql(3),
         "g_cc8": _cc_sql(8),
         "g_cc_conv": _cc_conv_sql(),
         "g_lpa4": _lpa_sql(4),

@@ -1,0 +1,119 @@
+"""Weighted PageRank over (src, dst, weight) edges — the host-graph
+companion of algos/pagerank.py.
+
+Transitions are weight-proportional: a walker at u moves to v with
+probability w(u,v)/W(u), W(u) = Σ w(u,·); dangling (W=0 or no
+out-edges) mass redistributes uniformly, damping as usual. The natural
+input is ``normalize.host_graph`` output (weight = page-level link
+count), where uniform transitions would badly misrank mega-sites.
+
+Kept separate from the unweighted kernel on purpose: pagerank.py is the
+frozen north-rule path (golden fixtures + scaling evidence); this
+shares its plan shape — edges cached with precomputed contribution
+fraction, broadcast-probe + partial/final aggregate per superstep, state
+carries (vid, score), one scalar action per iteration.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph import pregel
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    *,
+    weight_col: str = "weight",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = None,
+    num_partitions: int | None = None,
+) -> pregel.PregelResult:
+    """Returns state (vid, score), scores summing to 1."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    # fold the transition fraction INTO the cached edge frame once:
+    # frac(u, v) = w(u,v) / W(u) — per-superstep work is then a plain
+    # multiply, no per-iteration weight normalization join
+    e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+    tot = e.groupBy("src").agg(F.sum("w").alias("__W__"))
+    frac = (
+        e.join(tot, "src")
+        .select("src", "dst", (F.col("w") / F.col("__W__")).alias("frac"))
+        .repartition(num_partitions, "dst")
+        .persist()
+    )
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select("dst"))
+        .distinct()
+        .repartition(num_partitions, "vid")
+        .persist()
+    )
+    n = verts.count()
+    has_out = tot.select(F.col("src").alias("vid")).distinct()
+    state = verts.join(has_out.withColumn("__o__", F.lit(1.0)), "vid", "left").select(
+        "vid",
+        F.lit(1.0 / n).alias("score"),
+        F.coalesce("__o__", F.lit(0.0)).alias("has_out"),
+    ).localCheckpoint(eager=True)
+
+    metrics: list[dict] = []
+    it = 0
+    converged = False
+    while it < max_iter:
+        t0 = time.monotonic()
+        dangling = (
+            state.where(F.col("has_out") == 0.0)
+            .agg(F.coalesce(F.sum("score"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        active = F.broadcast(
+            state.where(F.col("has_out") > 0.0).select("vid", "score")
+        )
+        sums = (
+            frac.join(active, frac["src"] == active["vid"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("score") * F.col("frac")).alias("msum"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_state = state.hint("merge").join(
+            sums, state["vid"] == sums["dst"], "left"
+        ).select(
+            "vid",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce("msum", F.lit(0.0))
+            ).alias("score"),
+            "has_out",
+        ).localCheckpoint(eager=True)
+        it += 1
+        delta = (
+            pregel.linf_delta(state, new_state, "vid", "score")
+            if tol is not None
+            else None
+        )
+        metrics.append(
+            {
+                "job_id": "wpagerank",
+                "superstep": it,
+                "wall_s": round(time.monotonic() - t0, 4),
+                "delta": float(delta) if delta is not None else float("nan"),
+            }
+        )
+        state = new_state
+        if tol is not None and delta is not None and delta <= tol:
+            converged = True
+            break
+    frac.unpersist()
+    verts.unpersist()
+    return pregel.PregelResult(
+        state=state.select("vid", "score"),
+        iterations=it,
+        converged=converged or tol is None,
+        metrics=metrics,
+    )

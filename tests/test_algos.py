@@ -201,3 +201,29 @@ def test_random_walks_deterministic_and_dead_ends(spark):
     alt = {r["walk_id"]: r["seq"] for r in walk_sequences(random_walks(e, 3, seed=3)).collect()}
     assert set(alt) == set(seqs)
     assert alt != seqs  # the seed actually steers choices on this fixture
+
+
+def test_weighted_pagerank(spark):
+    import numpy as np
+
+    from linkgraph.algos.wpagerank import weighted_pagerank
+
+    # 0 links to 1 with weight 9 and to 2 with weight 1; 1,2 -> 0
+    e = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src bigint, dst bigint, weight double",
+    )
+    res = weighted_pagerank(e, max_iter=200, tol=1e-9)
+    got = {r["vid"]: r["score"] for r in res.state.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[1] > got[2]  # weight steers mass toward 1
+
+    # numpy oracle: weighted power iteration, same semantics
+    n, d = 3, 0.85
+    T = np.zeros((n, n))
+    T[0, 1], T[0, 2], T[1, 0], T[2, 0] = 0.9, 0.1, 1.0, 1.0
+    s = np.full(n, 1.0 / n)
+    for _ in range(200):
+        s = (1 - d) / n + d * (T.T @ s)
+    for v in range(n):
+        assert abs(got[v] - s[v]) < 1e-6
