@@ -3,7 +3,10 @@
     spark-submit --py-files linkgraph.zip jobs/graph_job.py \\
         --algo cc --edges /path/edges --out /path/out
 
-Algorithms: pagerank | cc | cc-two-phase | lpa | triangles.
+Algorithms: pagerank | cc | cc-two-phase | lpa | triangles | hits |
+kcore | wpagerank | ppr | walks.
+kcore reads --k (default 3); ppr reads --seeds (comma ids); walks reads
+--iters as the walk length.
 Prints one JSON line (rows, iterations, wall time, per-superstep times).
 """
 
@@ -19,12 +22,16 @@ from pyspark.sql import SparkSession
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--algo", required=True,
-                   choices=["pagerank", "cc", "cc-two-phase", "lpa", "triangles"])
+                   choices=["pagerank", "cc", "cc-two-phase", "lpa",
+                            "triangles", "hits", "kcore", "wpagerank",
+                            "ppr", "walks"])
     p.add_argument("--edges", required=True)
     p.add_argument("--out", default=None)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--k", type=int, default=3, help="k for kcore")
+    p.add_argument("--seeds", default=None, help="comma vids for ppr")
     args = p.parse_args()
 
     spark = SparkSession.builder.appName(f"linkgraph-{args.algo}").getOrCreate()
@@ -35,7 +42,11 @@ def main() -> None:
         label_propagation,
         pagerank,
     )
+    from linkgraph.algos.hits import hits
+    from linkgraph.algos.kcore import k_core
+    from linkgraph.algos.ppr import personalized_pagerank
     from linkgraph.algos.triangles import triangle_list
+    from linkgraph.algos.walks import random_walks
 
     edges = spark.read.parquet(args.edges)
     n_edges = edges.count()
@@ -49,15 +60,40 @@ def main() -> None:
         else:
             info["rows"] = tl.count()
     else:
-        kw = dict(checkpoint_dir=args.checkpoint_dir, max_iter=args.iters)
         if args.algo == "pagerank":
-            res = pagerank(edges, tol=args.tol, **kw)
+            res = pagerank(edges, tol=args.tol,
+                           checkpoint_dir=args.checkpoint_dir, max_iter=args.iters)
         elif args.algo == "cc":
-            res = connected_components(edges, **kw)
+            res = connected_components(edges, checkpoint_dir=args.checkpoint_dir,
+                                       max_iter=args.iters)
         elif args.algo == "cc-two-phase":
-            res = connected_components(edges, algorithm="two-phase", **kw)
+            res = connected_components(edges, algorithm="two-phase",
+                                       checkpoint_dir=args.checkpoint_dir,
+                                       max_iter=args.iters)
+        elif args.algo == "hits":
+            res = hits(edges, max_iter=args.iters, tol=args.tol)
+        elif args.algo == "kcore":
+            res = k_core(edges, k=args.k, max_iter=args.iters)
+        elif args.algo == "wpagerank":
+            from linkgraph.algos.wpagerank import weighted_pagerank
+
+            res = weighted_pagerank(edges, max_iter=args.iters, tol=args.tol)
+        elif args.algo == "ppr":
+            seeds = [int(x) for x in (args.seeds or "").split(",") if x != ""]
+            res = personalized_pagerank(edges, seeds, tol=args.tol,
+                                        max_iter=args.iters)
+        elif args.algo == "walks":
+            class _R:  # walks returns a plain DataFrame of step rows
+                pass
+
+            res = _R()
+            res.state = random_walks(edges, walk_length=args.iters)
+            res.iterations = args.iters
+            res.converged = True
+            res.metrics = []
         else:
-            res = label_propagation(edges, **kw)
+            res = label_propagation(edges, checkpoint_dir=args.checkpoint_dir,
+                                    max_iter=args.iters)
         if args.out:
             res.state.write.mode("overwrite").parquet(args.out)
             info["rows"] = spark.read.parquet(args.out).count()
