@@ -27,12 +27,21 @@ def main() -> None:
                             "ppr", "walks"])
     p.add_argument("--edges", required=True)
     p.add_argument("--out", default=None)
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=None,
+                   help="iteration cap (default: 20; kcore peel rounds: 30; "
+                        "walks: walk length 10)")
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--k", type=int, default=3, help="k for kcore")
     p.add_argument("--seeds", default=None, help="comma vids for ppr")
     args = p.parse_args()
+    if args.iters is None:
+        args.iters = {"kcore": 30, "walks": 10}.get(args.algo, 20)
+    if args.checkpoint_dir and args.algo in ("hits", "kcore", "wpagerank", "ppr", "walks"):
+        import sys as _sys
+
+        print(f"WARNING: --checkpoint-dir is not supported by {args.algo}; "
+              "the run will not be resumable", file=_sys.stderr)
 
     spark = SparkSession.builder.appName(f"linkgraph-{args.algo}").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -83,14 +92,14 @@ def main() -> None:
             res = personalized_pagerank(edges, seeds, tol=args.tol,
                                         max_iter=args.iters)
         elif args.algo == "walks":
-            class _R:  # walks returns a plain DataFrame of step rows
-                pass
+            from linkgraph.pregel import PregelResult
 
-            res = _R()
-            res.state = random_walks(edges, walk_length=args.iters)
-            res.iterations = args.iters
-            res.converged = True
-            res.metrics = []
+            res = PregelResult(
+                state=random_walks(edges, walk_length=args.iters),
+                iterations=args.iters,
+                converged=True,
+                metrics=[],
+            )
         else:
             res = label_propagation(edges, checkpoint_dir=args.checkpoint_dir,
                                     max_iter=args.iters)

@@ -129,6 +129,7 @@ def hits(
             converged = True
             break
     e.unpersist()
+    # fixed-iteration mode reports converged=False (run_pregel semantics)
     return pregel.PregelResult(
-        state=state, iterations=it, converged=converged or tol is None, metrics=metrics
+        state=state, iterations=it, converged=converged, metrics=metrics
     )

@@ -28,20 +28,36 @@ def weighted_pagerank(
     edges: DataFrame,
     *,
     weight_col: str = "weight",
+    src_col: str = "src",
+    dst_col: str = "dst",
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float | None = None,
     num_partitions: int | None = None,
 ) -> pregel.PregelResult:
-    """Returns state (vid, score), scores summing to 1."""
+    """Returns state (vid, score), scores summing to 1.
+
+    ``normalize.host_graph`` output plugs in directly:
+    ``weighted_pagerank(hg, src_col="src_host", dst_col="dst_host")``.
+    Vertices whose total out-weight is <= 0 (or null) are treated as
+    dangling — their edges carry no mass and never divide by zero.
+    """
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     # fold the transition fraction INTO the cached edge frame once:
     # frac(u, v) = w(u,v) / W(u) — per-superstep work is then a plain
     # multiply, no per-iteration weight normalization join
-    e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
-    tot = e.groupBy("src").agg(F.sum("w").alias("__W__"))
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    tot = (
+        e.groupBy("src")
+        .agg(F.sum("w").alias("__W__"))
+        .where(F.col("__W__") > 0)  # zero/null out-weight == dangling
+    )
     frac = (
         e.join(tot, "src")
         .select("src", "dst", (F.col("w") / F.col("__W__")).alias("frac"))
@@ -56,6 +72,21 @@ def weighted_pagerank(
         .persist()
     )
     n = verts.count()
+    if n == 0:
+        from pyspark.sql import types as T
+
+        frac.unpersist()
+        verts.unpersist()
+        empty = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("vid", e.schema["src"].dataType),
+                    T.StructField("score", T.DoubleType()),
+                ]
+            ),
+        )
+        return pregel.PregelResult(state=empty, iterations=0, converged=True, metrics=[])
     has_out = tot.select(F.col("src").alias("vid")).distinct()
     state = verts.join(has_out.withColumn("__o__", F.lit(1.0)), "vid", "left").select(
         "vid",
@@ -111,9 +142,11 @@ def weighted_pagerank(
             break
     frac.unpersist()
     verts.unpersist()
+    # fixed-iteration mode (tol=None) reports converged=False, matching
+    # run_pregel's semantics so graph_job JSON lines are comparable
     return pregel.PregelResult(
         state=state.select("vid", "score"),
         iterations=it,
-        converged=converged or tol is None,
+        converged=converged,
         metrics=metrics,
     )

@@ -227,3 +227,27 @@ def test_weighted_pagerank(spark):
         s = (1 - d) / n + d * (T.T @ s)
     for v in range(n):
         assert abs(got[v] - s[v]) < 1e-6
+
+
+def test_weighted_pagerank_edge_cases(spark):
+    from linkgraph.algos.wpagerank import weighted_pagerank
+
+    # empty edges -> clean empty result
+    empty = spark.createDataFrame([], "src bigint, dst bigint, weight double")
+    res = weighted_pagerank(empty, max_iter=2)
+    assert res.state.count() == 0 and res.iterations == 0
+    # zero-weight source == dangling: no divide-by-zero, mass conserved
+    e = spark.createDataFrame(
+        [(0, 1, 0.0), (1, 0, 1.0)], "src bigint, dst bigint, weight double"
+    )
+    res2 = weighted_pagerank(e, max_iter=4)
+    got = {r["vid"]: r["score"] for r in res2.state.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # host-graph column names plug in directly
+    hg = spark.createDataFrame(
+        [("a.com", "b.com", 3)], "src_host string, dst_host string, weight bigint"
+    )
+    res3 = weighted_pagerank(hg, src_col="src_host", dst_col="dst_host", max_iter=2)
+    assert res3.state.count() == 2
+    # fixed-iteration mode is not 'converged'
+    assert res2.converged is False
