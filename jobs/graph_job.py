@@ -86,6 +86,11 @@ def main() -> None:
         elif args.algo == "wpagerank":
             from linkgraph.algos.wpagerank import weighted_pagerank
 
+            if "weight" not in edges.columns:
+                raise SystemExit(
+                    "wpagerank needs a 'weight' column in the edge table "
+                    f"(found: {edges.columns})"
+                )
             res = weighted_pagerank(edges, max_iter=args.iters, tol=args.tol)
         elif args.algo == "ppr":
             seeds = [int(x) for x in (args.seeds or "").split(",") if x != ""]

@@ -35,10 +35,24 @@ def random_walks(
 ) -> DataFrame:
     """(walk_id, step, vid) rows: one walk per start vertex (default:
     every vertex with an out-edge), ``walk_length`` transitions or until
-    a dead end. walk_id = the start vid."""
+    a dead end. walk_id = the start vid.
+
+    Vertex ids must be integral (the portable neighbor-choice hash is
+    integer arithmetic); run string-keyed graphs (e.g. host graphs)
+    through ``normalize.assign_contiguous_ids`` first.
+    """
+    from pyspark.sql import types as T
+
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
+    if not isinstance(
+        edges.schema["src"].dataType, (T.LongType, T.IntegerType, T.ShortType)
+    ):
+        raise TypeError(
+            "random_walks needs integral vertex ids; map string keys to "
+            "contiguous ids first (normalize.assign_contiguous_ids)"
+        )
     (a, b) = phash.seeded_coeffs(1, seed)[0]
 
     w = Window.partitionBy("src").orderBy(F.col("dst").asc())
