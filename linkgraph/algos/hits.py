@@ -42,29 +42,48 @@ def hits(
     max_iter: int = 20,
     tol: float | None = None,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    job_id: str = "hits",
+    checkpoint_every: int = 5,
+    resume: bool = True,
 ) -> pregel.PregelResult:
-    """Returns state (vid, hub, auth), L2-normalized per iteration."""
+    """Returns state (vid, hub, auth), L2-normalized per iteration.
+    ``checkpoint_dir`` enables commit-markered durable checkpoints of
+    the (vid, hub, auth) state with cross-run resume."""
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
+    store = (
+        pregel.CheckpointStore(checkpoint_dir, job_id) if checkpoint_dir else None
+    )
     e = (
         edges.select("src", "dst")
         .distinct()
         .repartition(num_partitions, "dst")
         .persist()
     )
-    verts = (
-        e.select(F.col("src").alias("vid"))
-        .unionAll(e.select("dst"))
-        .distinct()
-        .repartition(num_partitions, "vid")
-    )
-    state = verts.select(
-        "vid", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
-    ).localCheckpoint(eager=True)
-
     metrics: list[dict] = []
     it = 0
+    state = None
+    if store is not None and resume:
+        last = store.latest()
+        if last is not None:
+            loaded, metrics = store.load(spark, last)
+            state = loaded.repartition(num_partitions, "vid").localCheckpoint(
+                eager=True
+            )
+            it = last
+    if state is None:
+        verts = (
+            e.select(F.col("src").alias("vid"))
+            .unionAll(e.select("dst"))
+            .distinct()
+            .repartition(num_partitions, "vid")
+        )
+        state = verts.select(
+            "vid", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+        ).localCheckpoint(eager=True)
+
     converged = False
     while it < max_iter:
         t0 = time.monotonic()
@@ -125,6 +144,8 @@ def hits(
             }
         )
         state = new_state
+        if store is not None and it % checkpoint_every == 0:
+            store.save(it, state, metrics)
         if tol is not None and delta is not None and delta <= tol:
             converged = True
             break

@@ -26,23 +26,48 @@ def k_core(
     *,
     max_iter: int = 30,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    job_id: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = True,
 ) -> pregel.PregelResult:
-    """Returns state = (vid) rows of the k-core's surviving vertices."""
+    """Returns state = (vid) rows of the k-core's surviving vertices.
+
+    ``checkpoint_dir`` enables durable per-round checkpoints of the
+    shrinking edge set (commit-markered, CheckpointStore layout); a
+    killed run resumes from the last committed round — peeling is
+    idempotent, so a resumed run is bit-identical to an uninterrupted
+    one."""
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    und = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .unionAll(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .repartition(num_partitions, "src")
-        .localCheckpoint(eager=True)
+    store = (
+        pregel.CheckpointStore(checkpoint_dir, job_id or f"kcore{k}")
+        if checkpoint_dir
+        else None
     )
     metrics: list[dict] = []
     it = 0
+    und = None
+    if store is not None and resume:
+        last = store.latest()
+        if last is not None:
+            loaded, metrics = store.load(spark, last)
+            und = loaded.repartition(num_partitions, "src").localCheckpoint(
+                eager=True
+            )
+            it = last
+    if und is None:
+        und = (
+            edges.select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .unionAll(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .repartition(num_partitions, "src")
+            .localCheckpoint(eager=True)
+        )
     converged = False
     n_edges = und.count()  # carried forward; equals last round's pruned count
     while it < max_iter:
@@ -75,6 +100,8 @@ def k_core(
             }
         )
         und = pruned
+        if store is not None and (it % checkpoint_every == 0 or removed == 0):
+            store.save(it, und, metrics)
         if removed == 0:
             converged = True
             break

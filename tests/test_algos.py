@@ -251,3 +251,34 @@ def test_weighted_pagerank_edge_cases(spark):
     assert res3.state.count() == 2
     # fixed-iteration mode is not 'converged'
     assert res2.converged is False
+
+
+def test_kcore_and_hits_resume(spark, tmp_path):
+    """Interrupted runs resume from the last committed checkpoint and end
+    identical to uninterrupted ones (peeling and power iteration are
+    both deterministic)."""
+    from linkgraph.algos.hits import hits
+    from linkgraph.algos.kcore import k_core
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    e = spark.createDataFrame(k4 + [(3, 4), (4, 5), (5, 6)], "src bigint, dst bigint")
+
+    ck = str(tmp_path / "ck")
+    # "interrupted": stop after 1 round, checkpointing every round
+    part = k_core(e, k=2, max_iter=1, checkpoint_dir=ck, checkpoint_every=1)
+    assert not part.converged
+    resumed = k_core(e, k=2, max_iter=30, checkpoint_dir=ck, checkpoint_every=1)
+    plain = k_core(e, k=2, max_iter=30)
+    assert {r["vid"] for r in resumed.state.collect()} == {
+        r["vid"] for r in plain.state.collect()
+    }
+    assert resumed.iterations >= part.iterations  # continued, not restarted
+
+    hck = str(tmp_path / "hck")
+    h_part = hits(e, max_iter=2, checkpoint_dir=hck, checkpoint_every=1)
+    h_res = hits(e, max_iter=4, checkpoint_dir=hck, checkpoint_every=1)
+    h_plain = hits(e, max_iter=4)
+    a = {r["vid"]: (r["hub"], r["auth"]) for r in h_res.state.collect()}
+    b = {r["vid"]: (r["hub"], r["auth"]) for r in h_plain.state.collect()}
+    for v in b:
+        assert abs(a[v][0] - b[v][0]) < 1e-12 and abs(a[v][1] - b[v][1]) < 1e-12
