@@ -37,7 +37,7 @@ def main() -> None:
     args = p.parse_args()
     if args.iters is None:
         args.iters = {"kcore": 30, "walks": 10}.get(args.algo, 20)
-    if args.checkpoint_dir and args.algo in ("hits", "kcore", "wpagerank", "ppr", "walks"):
+    if args.checkpoint_dir and args.algo in ("wpagerank", "ppr", "walks"):
         import sys as _sys
 
         print(f"WARNING: --checkpoint-dir is not supported by {args.algo}; "
@@ -80,9 +80,11 @@ def main() -> None:
                                        checkpoint_dir=args.checkpoint_dir,
                                        max_iter=args.iters)
         elif args.algo == "hits":
-            res = hits(edges, max_iter=args.iters, tol=args.tol)
+            res = hits(edges, max_iter=args.iters, tol=args.tol,
+                       checkpoint_dir=args.checkpoint_dir)
         elif args.algo == "kcore":
-            res = k_core(edges, k=args.k, max_iter=args.iters)
+            res = k_core(edges, k=args.k, max_iter=args.iters,
+                         checkpoint_dir=args.checkpoint_dir)
         elif args.algo == "wpagerank":
             from linkgraph.algos.wpagerank import weighted_pagerank
 

@@ -21,8 +21,9 @@ already-checkpointed frame so nothing expensive executes twice.
 
 The loop is hand-rolled rather than pregel.run_pregel because one HITS
 superstep is TWO half-steps with a mid-superstep scalar collect and a
-two-column delta; the cost is that hits() has no checkpoint/resume —
-acceptable for a 10-20-iteration kernel, noted here deliberately.
+two-column delta; durable checkpoint/resume comes from reusing
+pregel.CheckpointStore directly (commit-markered state + metrics rows,
+final state always saved).
 """
 
 from __future__ import annotations
@@ -85,6 +86,7 @@ def hits(
         ).localCheckpoint(eager=True)
 
     converged = False
+    saved = False  # final-state durability check after the loop
     while it < max_iter:
         t0 = time.monotonic()
         hubs = F.broadcast(state.select("vid", "hub"))
@@ -144,11 +146,15 @@ def hits(
             }
         )
         state = new_state
+        saved = False
         if store is not None and it % checkpoint_every == 0:
             store.save(it, state, metrics)
+            saved = True
         if tol is not None and delta is not None and delta <= tol:
             converged = True
             break
+    if store is not None and it > 0 and not saved:
+        store.save(it, state, metrics)  # final state always durable
     e.unpersist()
     # fixed-iteration mode reports converged=False (run_pregel semantics)
     return pregel.PregelResult(

@@ -69,6 +69,7 @@ def k_core(
             .localCheckpoint(eager=True)
         )
     converged = False
+    saved = False  # final-state durability check after the loop
     n_edges = und.count()  # carried forward; equals last round's pruned count
     while it < max_iter:
         t0 = time.monotonic()
@@ -100,11 +101,15 @@ def k_core(
             }
         )
         und = pruned
+        saved = False
         if store is not None and (it % checkpoint_every == 0 or removed == 0):
             store.save(it, und, metrics)
+            saved = True
         if removed == 0:
             converged = True
             break
+    if store is not None and it > 0 and not saved:
+        store.save(it, und, metrics)  # final round always durable
     core = und.select(F.col("src").alias("vid")).distinct()
     return pregel.PregelResult(
         state=core.localCheckpoint(eager=True),
