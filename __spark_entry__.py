@@ -729,7 +729,7 @@ def _e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") == 0).select(
         F.lit(0).alias("query_id"), F.col("embedding")
     )
-    out = simsearch.ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4)
+    out = simsearch.ivf_topk(emb, q, k=10, n_centroids=8, n_probe=2)
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
@@ -782,10 +782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_pairs": _d_minhash_pairs,
         "d_simhash": _d_simhash,
         "e_ann_topk": _e_ann_topk,
+        "e_ivf_topk": _e_ivf_topk,
         "e_cosine_pairs": _e_cosine_pairs,
         "e_cosine_pairs_lsh": _e_cosine_pairs_lsh,
         "e_lsh_topk": _e_lsh_topk,
-        "e_ivf_topk": _e_ivf_topk,
     }
 
 
@@ -1308,7 +1308,7 @@ SELECT a, b, ROUND(raw, 6) AS score FROM scored WHERE raw >= {threshold}"""
 
 
 def _ivf_topk_sql(
-    k: int = 10, n_centroids: int = 16, n_probe: int = 4, dim: int = 64, seed: int = 7
+    k: int = 10, n_centroids: int = 8, n_probe: int = 2, dim: int = 64, seed: int = 7
 ) -> str:
     """DuckDB replica of simsearch.ivf_topk: seeded-sample centroids
     re-derived by the same affine id-hash rank; nearest-centroid argmax

@@ -19,6 +19,17 @@ norms are two scalar aggregates per iteration (the same driver-action
 budget as pagerank's dangling-mass sum), each over an
 already-checkpointed frame so nothing expensive executes twice.
 
+Above ``BROADCAST_STATE_MAX_VERTICES`` (or with ``broadcast_state=
+False``) the kernel switches to the exchange plan: because the two
+half-steps join the E rows on DIFFERENT keys (src for the auth sums,
+dst for the hub sums), the edge set is cached in BOTH orientations —
+hash(src, P) and hash(dst, P) — so each half-step's state join is
+co-partitioned and only the V-row state plus the partially-aggregated
+sums ever shuffle. 2x edge cache is the price of never exchanging the
+E rows inside the loop; at 10^12-doc scale that trade is strictly
+right (E-row exchange per iteration dwarfs one extra cached copy that
+can spill to disk).
+
 The loop is hand-rolled rather than pregel.run_pregel because one HITS
 superstep is TWO half-steps with a mid-superstep scalar collect and a
 two-column delta; durable checkpoint/resume comes from reusing
@@ -35,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph import pregel
+from linkgraph.algos.pagerank import BROADCAST_STATE_MAX_VERTICES
 
 
 def hits(
@@ -47,6 +59,7 @@ def hits(
     job_id: str = "hits",
     checkpoint_every: int = 5,
     resume: bool = True,
+    broadcast_state: bool | None = None,
 ) -> pregel.PregelResult:
     """Returns state (vid, hub, auth), L2-normalized per iteration.
     ``checkpoint_dir`` enables commit-markered durable checkpoints of
@@ -57,12 +70,7 @@ def hits(
     store = (
         pregel.CheckpointStore(checkpoint_dir, job_id) if checkpoint_dir else None
     )
-    e = (
-        edges.select("src", "dst")
-        .distinct()
-        .repartition(num_partitions, "dst")
-        .persist()
-    )
+    e0 = edges.select("src", "dst").distinct()
     metrics: list[dict] = []
     it = 0
     state = None
@@ -76,22 +84,35 @@ def hits(
             it = last
     if state is None:
         verts = (
-            e.select(F.col("src").alias("vid"))
-            .unionAll(e.select("dst"))
+            e0.select(F.col("src").alias("vid"))
+            .unionAll(e0.select("dst"))
             .distinct()
             .repartition(num_partitions, "vid")
         )
         state = verts.select(
             "vid", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
         ).localCheckpoint(eager=True)
+    if broadcast_state is None:
+        # state is localCheckpoint-materialized: this count is a cheap scan
+        broadcast_state = state.count() <= BROADCAST_STATE_MAX_VERTICES
+    # broadcast plan: one dst-partitioned cache serves both half-steps
+    # (the state side is broadcast, the auth groupBy(dst) is exchange-
+    # free). Exchange plan: one cache per join orientation so neither
+    # half-step ever exchanges E rows (see module docstring).
+    e_dst = e0.repartition(num_partitions, "dst").persist()
+    e_src = e_dst if broadcast_state else e0.repartition(
+        num_partitions, "src"
+    ).persist()
 
     converged = False
     saved = False  # final-state durability check after the loop
     while it < max_iter:
         t0 = time.monotonic()
-        hubs = F.broadcast(state.select("vid", "hub"))
+        hubs = state.select("vid", "hub")
+        if broadcast_state:
+            hubs = F.broadcast(hubs)
         asum = (
-            e.join(hubs, e["src"] == hubs["vid"])
+            e_src.join(hubs, e_src["src"] == hubs["vid"])
             .groupBy("dst")
             .agg(F.sum("hub").alias("araw"))
         )
@@ -111,9 +132,11 @@ def hits(
             "vid", "hub", (F.col("araw") / F.lit(a_norm)).alias("auth")
         )
 
-        auths = F.broadcast(mid.select("vid", "auth"))
+        auths = mid.select("vid", "auth")
+        if broadcast_state:
+            auths = F.broadcast(auths)
         hsum = (
-            e.join(auths, e["dst"] == auths["vid"])
+            e_dst.join(auths, e_dst["dst"] == auths["vid"])
             .groupBy("src")
             .agg(F.sum("auth").alias("hraw"))
         )
@@ -139,7 +162,7 @@ def hits(
             )
         metrics.append(
             {
-                "job_id": "hits",
+                "job_id": job_id,
                 "superstep": it,
                 "wall_s": round(time.monotonic() - t0, 4),
                 "delta": float(delta) if delta is not None else float("nan"),
@@ -155,7 +178,9 @@ def hits(
             break
     if store is not None and it > 0 and not saved:
         store.save(it, state, metrics)  # final state always durable
-    e.unpersist()
+    e_dst.unpersist()
+    if e_src is not e_dst:
+        e_src.unpersist()
     # fixed-iteration mode reports converged=False (run_pregel semantics)
     return pregel.PregelResult(
         state=state, iterations=it, converged=converged, metrics=metrics

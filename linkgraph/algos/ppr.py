@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph import pregel
+from linkgraph.algos.pagerank import BROADCAST_STATE_MAX_VERTICES
 
 
 def personalized_pagerank(
@@ -25,6 +26,7 @@ def personalized_pagerank(
     tol: float | None = 1e-6,
     max_iter: int = 100,
     num_partitions: int | None = None,
+    broadcast_state: bool | None = None,
 ) -> pregel.PregelResult:
     """Returns state (vid, score); scores sum to 1 over the graph."""
     spark = edges.sparkSession
@@ -47,7 +49,14 @@ def personalized_pagerank(
             f"{ns - present} seed vertex/vertices not present in the edge table "
             f"(teleport mass would silently vanish)"
         )
-    e = edges.select("src", "dst").repartition(num_partitions, "dst").persist()
+    if broadcast_state is None:
+        broadcast_state = verts.count() <= BROADCAST_STATE_MAX_VERTICES
+    # same plan switch as pagerank.py: broadcast plan caches edges by dst
+    # (exchange-free message agg); exchange plan caches by src so the
+    # per-superstep state join is co-partitioned and only the V-row state
+    # + partial message sums ever shuffle (the 10^12-doc regime).
+    part_key = "dst" if broadcast_state else "src"
+    e = edges.select("src", "dst").repartition(num_partitions, part_key).persist()
     deg = e.groupBy(F.col("src").alias("vid")).agg(
         F.count(F.lit(1)).cast("double").alias("out_degree")
     )
@@ -68,11 +77,11 @@ def personalized_pagerank(
             .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("s"))
             .collect()[0]["s"]
         )
-        active = F.broadcast(
-            state.where(F.col("out_degree") > 0.0).select(
-                "vid", (F.col("score") / F.col("out_degree")).alias("contrib")
-            )
+        active = state.where(F.col("out_degree") > 0.0).select(
+            "vid", (F.col("score") / F.col("out_degree")).alias("contrib")
         )
+        if broadcast_state:
+            active = F.broadcast(active)
         sums = (
             edges_df.join(active, edges_df["src"] == active["vid"])
             .select("dst", "contrib")

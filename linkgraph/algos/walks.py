@@ -81,11 +81,18 @@ def random_walks(
         )
         # portable pseudo-random neighbor choice for (vertex, step);
         # reduce vid mod P FIRST — raw 64-bit ids (hash vids) times the
-        # mixer would overflow int64 (phash discipline: stay < 2^60)
-        x = (
-            (F.col("vid") % F.lit(phash.P)) * F.lit(_STEP_MIX) + F.lit(t)
-        ) % F.lit(phash.P)
-        choice = ((x * F.lit(a) + F.lit(b)) % F.lit(phash.P)) % F.col(f"__g{t}__")
+        # mixer would overflow int64 (phash discipline: stay < 2^60).
+        # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+        # vid (raw 64-bit hash id) would yield a negative choice that
+        # matches no rank and silently kills the walk. pmod == % for
+        # non-negative operands, so existing oracles are unaffected.
+        x = F.pmod(
+            F.pmod(F.col("vid"), F.lit(phash.P)) * F.lit(_STEP_MIX) + F.lit(t),
+            F.lit(phash.P),
+        )
+        choice = F.pmod(
+            F.pmod(x * F.lit(a) + F.lit(b), F.lit(phash.P)), F.col(f"__g{t}__")
+        )
         # checkpoint each frontier: union branches don't share subplans,
         # so un-materialized steps would re-run the whole join chain per
         # branch (O(L^2) joins) — same discipline as the other kernels

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph import pregel
+from linkgraph.algos.pagerank import BROADCAST_STATE_MAX_VERTICES
 
 
 def weighted_pagerank(
@@ -34,6 +35,7 @@ def weighted_pagerank(
     max_iter: int = 20,
     tol: float | None = None,
     num_partitions: int | None = None,
+    broadcast_state: bool | None = None,
 ) -> pregel.PregelResult:
     """Returns state (vid, score), scores summing to 1.
 
@@ -58,12 +60,6 @@ def weighted_pagerank(
         .agg(F.sum("w").alias("__W__"))
         .where(F.col("__W__") > 0)  # zero/null out-weight == dangling
     )
-    frac = (
-        e.join(tot, "src")
-        .select("src", "dst", (F.col("w") / F.col("__W__")).alias("frac"))
-        .repartition(num_partitions, "dst")
-        .persist()
-    )
     verts = (
         e.select(F.col("src").alias("vid"))
         .unionAll(e.select("dst"))
@@ -72,6 +68,19 @@ def weighted_pagerank(
         .persist()
     )
     n = verts.count()
+    if broadcast_state is None:
+        broadcast_state = n <= BROADCAST_STATE_MAX_VERTICES
+    # plan switch as in pagerank.py: broadcast plan caches the fraction
+    # frame by dst (exchange-free message agg after the broadcast probe);
+    # exchange plan caches by src so the state join is co-partitioned and
+    # only the V-row state + partial sums shuffle per superstep.
+    part_key = "dst" if broadcast_state else "src"
+    frac = (
+        e.join(tot, "src")
+        .select("src", "dst", (F.col("w") / F.col("__W__")).alias("frac"))
+        .repartition(num_partitions, part_key)
+        .persist()
+    )
     if n == 0:
         from pyspark.sql import types as T
 
@@ -104,9 +113,9 @@ def weighted_pagerank(
             .agg(F.coalesce(F.sum("score"), F.lit(0.0)))
             .collect()[0][0]
         )
-        active = F.broadcast(
-            state.where(F.col("has_out") > 0.0).select("vid", "score")
-        )
+        active = state.where(F.col("has_out") > 0.0).select("vid", "score")
+        if broadcast_state:
+            active = F.broadcast(active)
         sums = (
             frac.join(active, frac["src"] == active["vid"])
             .groupBy("dst")

@@ -406,6 +406,10 @@ def as_of_join(
     join, no per-row subquery, so the plan is a sort + window at any
     scale. Right rows must be unique per (key, right_ts); pre-aggregate
     otherwise (equal-ts rows would be picked by stream order).
+
+    The right payload is carried as ONE struct, so a matched right row is
+    taken atomically — a NULL in one payload column of the most recent
+    right row stays NULL rather than being stitched from an older row.
     """
     on = list(on)
     lcols = [c for c in left.columns if c not in on and c != left_ts]
@@ -413,19 +417,24 @@ def as_of_join(
     clash = set(lcols) & set(rcols)
     if clash:
         raise ValueError(f"as_of_join: rename colliding columns first: {sorted(clash)}")
+    if not rcols:  # no right payload -> left outer as-of adds nothing
+        return left
+    from pyspark.sql import types as T
+
+    rpay_type = T.StructType([right.schema[c] for c in rcols])
     l2 = left.select(
         *on,
         F.col(left_ts).alias("__ts__"),
         F.lit(1).alias("__tag__"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__") for c in rcols],
+        F.lit(None).cast(rpay_type).alias("__rpay__"),
     )
     r2 = right.select(
         *on,
         F.col(right_ts).alias("__ts__"),
         F.lit(0).alias("__tag__"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}__") for c in rcols],
+        F.struct(*[F.col(c) for c in rcols]).alias("__rpay__"),
     )
     u = l2.unionByName(r2)
     # right rows sort before left rows at equal ts => "at-or-before" is inclusive
@@ -439,11 +448,14 @@ def as_of_join(
         "__ts__",
         "__tag__",
         *lcols,
-        *[
-            F.last(F.col(f"__r_{c}__"), ignorenulls=True).over(w).alias(c)
-            for c in rcols
-        ],
+        F.last(F.col("__rpay__"), ignorenulls=True).over(w).alias("__rpay__"),
     )
-    return carried.where(F.col("__tag__") == 1).drop("__tag__").withColumnRenamed(
-        "__ts__", left_ts
+    return (
+        carried.where(F.col("__tag__") == 1)
+        .select(
+            *on,
+            F.col("__ts__").alias(left_ts),
+            *lcols,
+            *[F.col("__rpay__")[c].alias(c) for c in rcols],
+        )
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -42,10 +43,17 @@ def iceberg_available(spark: SparkSession, catalog: str = "lg") -> bool:
 class TableStore:
     """Named tables over Iceberg (if configured) or parquet directories."""
 
-    def __init__(self, spark: SparkSession, root: str, catalog: str = "lg"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        catalog: str = "lg",
+        lock_stale_s: float = 1800.0,
+    ):
         self.spark = spark
         self.root = root
         self.catalog = catalog
+        self.lock_stale_s = lock_stale_s  # tune up for very large tables
         self.iceberg = iceberg_available(spark, catalog)
         if not self.iceberg:
             os.makedirs(root, exist_ok=True)
@@ -82,7 +90,7 @@ class TableStore:
             df.write.mode("append").parquet(self._path(name))
 
     def _acquire_lock(
-        self, path: str, timeout_s: float = 120.0, stale_s: float = 1800.0
+        self, path: str, timeout_s: float = 120.0, stale_s: float | None = None
     ) -> str:
         """Atomic mkdir mutex — serializes read-merge-swap so concurrent
         upserts can't lose updates (Iceberg gets this from optimistic
@@ -90,9 +98,14 @@ class TableStore:
         two unlocked writers would both read the same base and the
         second swap would silently drop the first's rows).
 
-        A lock older than ``stale_s`` is presumed orphaned (holder killed
-        mid-write) and is broken — otherwise one SIGKILL would block the
-        table forever."""
+        A lock older than ``stale_s`` (default: the store's
+        ``lock_stale_s``) is presumed orphaned (holder killed mid-write)
+        and is broken — otherwise one SIGKILL would block the table
+        forever. Live holders keep their lock fresh via the heartbeat
+        thread in ``upsert``, so a merge legitimately running longer than
+        ``stale_s`` is never stolen."""
+        if stale_s is None:
+            stale_s = self.lock_stale_s
         lock = path + ".lock"
         deadline = time.monotonic() + timeout_s
         while True:
@@ -126,6 +139,7 @@ class TableStore:
             return
         path = self._path(name)
         lock = self._acquire_lock(path)
+        heartbeat = _LockHeartbeat(lock, max(self.lock_stale_s / 4.0, 1.0))
         try:
             if not os.path.exists(path):
                 df.write.parquet(path)
@@ -139,4 +153,31 @@ class TableStore:
             os.rename(tmp, path)
             shutil.rmtree(old)
         finally:
+            heartbeat.stop()
             os.rmdir(lock)
+
+
+class _LockHeartbeat:
+    """Touches the lock dir's mtime every ``interval`` seconds while the
+    holder works, so the stale-lock breaker in ``_acquire_lock`` only
+    ever fires on genuinely dead holders (SIGKILL mid-merge), never on a
+    live merge that happens to run longer than the staleness window."""
+
+    def __init__(self, lock: str, interval: float):
+        self._lock = lock
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, args=(interval,), daemon=True
+        )
+        self._thread.start()
+
+    def _run(self, interval: float) -> None:
+        while not self._stop.wait(interval):
+            try:
+                os.utime(self._lock)
+            except OSError:
+                return  # lock gone (released or broken) — nothing to keep alive
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)

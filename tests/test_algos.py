@@ -282,3 +282,66 @@ def test_kcore_and_hits_resume(spark, tmp_path):
     b = {r["vid"]: (r["hub"], r["auth"]) for r in h_plain.state.collect()}
     for v in b:
         assert abs(a[v][0] - b[v][0]) < 1e-12 and abs(a[v][1] - b[v][1]) < 1e-12
+
+
+def test_exchange_plan_matches_broadcast_plan(tiny_edges, spark):
+    """broadcast_state=False (the >20M-vertex exchange plan) must produce
+    the same state as the broadcast plan for hits/ppr/weighted-pagerank —
+    the same guarantee pagerank/cc/lpa already carry."""
+    import math
+
+    from linkgraph.algos import personalized_pagerank
+    from linkgraph.algos.hits import hits
+    from linkgraph.algos.wpagerank import weighted_pagerank
+
+    b = personalized_pagerank(
+        tiny_edges, [0, 5], tol=0.0, max_iter=5, broadcast_state=True
+    )
+    x = personalized_pagerank(
+        tiny_edges, [0, 5], tol=0.0, max_iter=5, broadcast_state=False
+    )
+    bs = {r["vid"]: r["score"] for r in b.state.collect()}
+    xs = {r["vid"]: r["score"] for r in x.state.collect()}
+    assert bs.keys() == xs.keys()
+    for v in bs:
+        assert math.isclose(bs[v], xs[v], rel_tol=1e-12, abs_tol=1e-12)
+
+    hb = hits(tiny_edges, max_iter=3, broadcast_state=True)
+    hx = hits(tiny_edges, max_iter=3, broadcast_state=False)
+    hbs = {r["vid"]: (r["hub"], r["auth"]) for r in hb.state.collect()}
+    hxs = {r["vid"]: (r["hub"], r["auth"]) for r in hx.state.collect()}
+    assert hbs.keys() == hxs.keys()
+    for v in hbs:
+        assert math.isclose(hbs[v][0], hxs[v][0], rel_tol=1e-12, abs_tol=1e-12)
+        assert math.isclose(hbs[v][1], hxs[v][1], rel_tol=1e-12, abs_tol=1e-12)
+
+    we = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 5.0), (2, 0, 1.0), (3, 0, 4.0)],
+        "src bigint, dst bigint, weight double",
+    )
+    wb = weighted_pagerank(we, max_iter=4, broadcast_state=True)
+    wx = weighted_pagerank(we, max_iter=4, broadcast_state=False)
+    wbs = {r["vid"]: r["score"] for r in wb.state.collect()}
+    wxs = {r["vid"]: r["score"] for r in wx.state.collect()}
+    assert wbs.keys() == wxs.keys()
+    for v in wbs:
+        assert math.isclose(wbs[v], wxs[v], rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_random_walks_negative_vids(spark):
+    """Raw 64-bit hash vids can be negative; pmod keeps the neighbor
+    choice in range so walks from negative vertices don't silently die."""
+    from linkgraph.algos.walks import random_walks
+
+    e = spark.createDataFrame(
+        [(-5, -7), (-5, 3), (-7, 3), (3, -5)], "src bigint, dst bigint"
+    )
+    walks = random_walks(e, walk_length=3, seed=11)
+    rows = walks.collect()
+    # every start vertex (all three have out-edges) takes all 3 steps
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], []).append(r["step"])
+    assert set(by_walk) == {-5, -7, 3}
+    for steps in by_walk.values():
+        assert sorted(steps) == [0, 1, 2, 3]
