@@ -560,6 +560,116 @@ def _p3_gql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph997_named(spark: SparkSession, sf_dir: str):
+    """997 link graph with a string vertex property (name = 'v<vid>')
+    so LIKE/RLIKE/KGDSL property rules have something to chew on."""
+    from linkgraph.gql import PropertyGraph
+
+    e = _edges(spark, sf_dir)
+    v = (
+        e.select(F.col("src").alias("vid"))
+        .union(e.select("dst"))
+        .distinct()
+        .select("vid", F.concat(F.lit("v"), F.col("vid")).alias("name"))
+    )
+    return PropertyGraph({"V": v}, {"E": e})
+
+
+_NAMED_VERTS_SQL = (
+    f"SELECT vid, 'v' || CAST(vid AS VARCHAR) AS name FROM ({VERTS_SQL})"
+)
+
+
+def _p4_gql_param_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime $param binding + IN/LIKE/RLIKE WHERE operators
+    (Expr.scala:341-359,391) through the GQL front-end; the bound $ids
+    equality pins the traversal seeds exactly like literals."""
+    from linkgraph.gql import compile_query
+
+    g = _graph997_named(spark, sf_dir)
+    return compile_query(
+        "MATCH (a)-[e]->(b) WHERE a.vid in $ids AND b.name like $pat "
+        "AND b.name rlike '[0-9]$' RETURN a.vid AS a, b.vid AS b",
+        g,
+        params={"ids": [1, 2, 3, 4, 5], "pat": "v1%"},
+    )
+
+
+def _k1_kgdsl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KGDSL native dialect (KGDSL.g4:38 base_rule_define) — the
+    road-DSL shape from LocalRunnerTest.java:44-55: GraphStructure
+    pattern + named Rule conjuncts + Action get."""
+    from linkgraph.kgdsl import run_script
+
+    g = _graph997_named(spark, sf_dir)
+    res = run_script(
+        """
+GraphStructure { (a:V)-[e:E]->(b:V) }
+Rule {
+    R0: a.name like 'v1%'
+    R1: b.vid >= 100 && b.vid <= 500
+}
+Action { get(a.vid, b.vid) }
+""",
+        g,
+    )
+    return res.table
+
+
+def _k2_kgdsl_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-statement KGDSL: Define with a group() aggregation adds a
+    derived vertex property (AddProperty, ResultBlock.scala:84), a later
+    statement filters on it — statements run in dependency order
+    (Validator.scala:29-45). Consumer placed FIRST on purpose."""
+    from linkgraph.kgdsl import run_script
+
+    g = _graph997_named(spark, sf_dir)
+    res = run_script(
+        """
+GraphStructure { (s:V) }
+Rule { R0: s.outdeg >= 5 }
+Action { get(s.vid, s.outdeg) }
+
+Define (s:V)-[p:outdeg]->(o:Int) {
+    GraphStructure { (s)-[e:E]->(u:V) }
+    Rule {
+        o = group(s).count(u.vid)
+    }
+}
+""",
+        g,
+    )
+    return res.table
+
+
+def _k3_kgdsl_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Action-block DDL: createEdgeInstance writes a derived edge type
+    back into the graph (AddPredicate, ResultBlock.scala:104;
+    KgReasonerLeadToTest.java:125-133); the query returns the new edge
+    table."""
+    from linkgraph.kgdsl import run_script
+
+    g = _graph997_named(spark, sf_dir)
+    res = run_script(
+        """
+GraphStructure { (a:V)-[e:E]->(b:V) }
+Rule { R0: a.vid < 50 }
+Action {
+    createEdgeInstance(
+        src=a,
+        dst=b,
+        type=closeTo,
+        value={
+            w = a.vid + b.vid
+        }
+    )
+}
+""",
+        g,
+    )
+    return res.graph.edges["closeTo"].select("src", "dst", "w")
+
+
 def _c1_concept_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConceptEdgeExpand parity: parts tagged with a brand concept
     generalize up the Brand#NN -> Brand#N -> Brand taxonomy."""
@@ -770,6 +880,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_gql_monotone": _p1_gql_monotone,
         "p2_gql_varlen": _p2_gql_varlen,
         "p3_gql_optional": _p3_gql_optional,
+        "p4_gql_param_in_like": _p4_gql_param_in_like,
+        "k1_kgdsl_filter": _k1_kgdsl_filter,
+        "k2_kgdsl_define": _k2_kgdsl_define,
+        "k3_kgdsl_ddl": _k3_kgdsl_ddl,
         "t1_thinker_reach": _t1_thinker_reach,
         "c1_concept_expand": _c1_concept_expand,
         "d_exact_dedup": _d_exact_dedup,
@@ -1521,6 +1635,26 @@ verts AS ({VERTS_SQL})
 SELECT v.vid, COUNT(e.dst) AS n_out
 FROM verts v LEFT JOIN edges e ON e.src = v.vid
 GROUP BY v.vid""",
+        "p4_gql_param_in_like": f"""
+WITH edges AS ({EDGES_SQL}),
+verts AS ({_NAMED_VERTS_SQL})
+SELECT e.src AS a, e.dst AS b
+FROM edges e JOIN verts bv ON e.dst = bv.vid
+WHERE e.src IN (1, 2, 3, 4, 5) AND bv.name LIKE 'v1%'
+  AND regexp_matches(bv.name, '[0-9]$')""",
+        "k1_kgdsl_filter": f"""
+WITH edges AS ({EDGES_SQL}),
+verts AS ({_NAMED_VERTS_SQL})
+SELECT e.src AS a_vid, e.dst AS b_vid
+FROM edges e JOIN verts av ON e.src = av.vid
+WHERE av.name LIKE 'v1%' AND e.dst >= 100 AND e.dst <= 500""",
+        "k2_kgdsl_define": f"""
+WITH edges AS ({EDGES_SQL}),
+deg AS (SELECT src AS vid, COUNT(*) AS outdeg FROM edges GROUP BY src)
+SELECT vid AS s_vid, outdeg AS s_outdeg FROM deg WHERE outdeg >= 5""",
+        "k3_kgdsl_ddl": f"""
+WITH edges AS ({EDGES_SQL})
+SELECT src, dst, src + dst AS w FROM edges WHERE src < 50""",
         "t1_thinker_reach": """
 WITH RECURSIVE e AS (
   SELECT DISTINCT l_orderkey % 211 AS src, l_partkey % 211 AS dst

@@ -51,22 +51,29 @@ def main() -> None:
         driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     )
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     extras: dict[str, float] = {}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
     def timed(name):
-        """Best-of-N (default 2): this box shows random multi-second GC
-        outliers in a loaded JVM (documented in BENCH/BASELINE.md), and
-        the first execution pays whole-stage-codegen compilation; the
-        minimum is the steady-state cost a warm executor fleet sees."""
+        """Pinned methodology (round 3): report BOTH the single first
+        run and the best-of-N (default 2) per query, so cross-round
+        deltas are apples-to-apples regardless of which convention a
+        past round used. Best-of-N is the headline `queries` value: this
+        box shows random multi-second GC outliers in a loaded JVM
+        (documented in BENCH/BASELINE.md) and run 1 pays whole-stage
+        codegen compilation; the minimum is the steady-state cost a warm
+        executor fleet sees. `queries_first_run` is the cold number."""
 
         def deco(fn):
             best = None
             out = None
-            for _ in range(max(1, repeats)):
+            for i in range(max(1, repeats)):
                 t0 = time.monotonic()
                 out = fn()
                 dt = time.monotonic() - t0
+                if i == 0:
+                    first_run[name] = round(dt, 3)
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
             return out
@@ -155,6 +162,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_first_run": first_run,
+                "total_first_run": round(sum(first_run.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_edges": n_edges,
                 **extras,

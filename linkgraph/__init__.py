@@ -13,6 +13,9 @@ Layout (SURVEY.md §7):
   algos/        pagerank, connected components, label propagation, triangles
   ops.py        RDG-parity DataFrame operator layer (pattern scan, expand,
                 top-k, fold/unfold, optional, union, var-len expand, ...)
+  gql.py        GQL MATCH/RETURN front-end ($params, IN/LIKE/RLIKE)
+  kgdsl.py      KGDSL native dialect (GraphStructure/Rule/Action, Define
+                derived predicates, Action DDL, multi-statement scripts)
   functions.py  scalar/aggregate function registry (reference UDF parity)
   pipeline/     training-data ops: dedup, similarity search, text stats,
                 multimodal plumbing

@@ -130,6 +130,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
       (?P<num>\d+(?:\.\d+)?)
     | (?P<str>'[^']*')
+    | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<op><-|->|<>|<=|>=|\.\.|[()\[\],:\-.*<>=+/%|])
     )""",
@@ -139,6 +140,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "match", "where", "return", "as", "order", "by", "limit",
     "distinct", "and", "or", "not", "asc", "desc", "group", "optional",
+    "in", "like", "rlike",
 }
 
 
@@ -154,6 +156,8 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         pos = m.end()
         if m.lastgroup == "num":
             out.append(("num", m.group("num")))
+        elif m.lastgroup == "param":
+            out.append(("param", m.group("param")[1:]))
         elif m.lastgroup == "str":
             out.append(("str", m.group("str")[1:-1]))
         elif m.lastgroup == "name":
@@ -338,6 +342,24 @@ class _Parser:
         if t[0] == "op" and t[1] in ("=", "<>", "<", "<=", ">", ">="):
             self.next()
             return ("bin", t[1], left, self._add())
+        # WHERE operator surface parity (Expr.scala:341-359): in / like / rlike
+        if t == ("kw", "in"):
+            self.next()
+            opener = self.next()
+            if opener not in (("op", "("), ("op", "[")):
+                # $param bound to a Python list at compile time
+                if opener[0] == "param":
+                    return ("in", left, ("param", opener[1]))
+                raise SyntaxError(f"IN needs a literal list or $param, got {opener}")
+            closer = ")" if opener == ("op", "(") else "]"
+            items = [self._add()]
+            while self.accept("op", ","):
+                items.append(self._add())
+            self.expect("op", closer)
+            return ("in", left, items)
+        if t in (("kw", "like"), ("kw", "rlike")):
+            self.next()
+            return ("bin", t[1], left, self._add())
         return left
 
     def _add(self):
@@ -368,6 +390,8 @@ class _Parser:
             return ("lit", float(t[1]) if "." in t[1] else int(t[1]))
         if t[0] == "str":
             return ("lit", t[1])
+        if t[0] == "param":  # $name — bound at compile time (Expr.scala:391)
+            return ("param", t[1])
         if t == ("op", "("):
             e = self._expr()
             self.expect("op", ")")
@@ -418,7 +442,62 @@ def _contains_agg(e) -> bool:
         return _contains_agg(e[1])
     if e[0] == "func":
         return any(_contains_agg(a) for a in e[2])
+    if e[0] == "in" and isinstance(e[2], list):
+        return _contains_agg(e[1]) or any(_contains_agg(a) for a in e[2])
+    if e[0] == "in":
+        return _contains_agg(e[1])
     return False
+
+
+def bind_params(e, params: dict):
+    """Substitute $param refs with literal values (runtime parameter
+    binding, Expr.scala:391 ``Parameter``; bound before planning so an
+    ``x.id = $p`` conjunct still drives IdEqualPushDown root seeding)."""
+    if not isinstance(e, tuple):
+        return e
+    if e[0] == "param":
+        if e[1] not in params:
+            raise ValueError(f"unbound query parameter ${e[1]}")
+        return ("lit", params[e[1]])
+    if e[0] == "in" and isinstance(e[2], tuple) and e[2][0] == "param":
+        if e[2][1] not in params:
+            raise ValueError(f"unbound query parameter ${e[2][1]}")
+        vals = params[e[2][1]]
+        if not isinstance(vals, (list, tuple, set)):
+            raise TypeError(f"IN ${e[2][1]} needs a list, got {type(vals).__name__}")
+        return ("in", bind_params(e[1], params), [("lit", v) for v in vals])
+    if e[0] == "in":
+        return ("in", bind_params(e[1], params), [bind_params(a, params) for a in e[2]])
+    if e[0] == "bin":
+        return ("bin", e[1], bind_params(e[2], params), bind_params(e[3], params))
+    if e[0] == "not":
+        return ("not", bind_params(e[1], params))
+    if e[0] == "func":
+        return ("func", e[1], [bind_params(a, params) for a in e[2]])
+    return e
+
+
+def _collect_params(e, out: set[str]) -> set[str]:
+    if not isinstance(e, tuple):
+        return out
+    if e[0] == "param":
+        out.add(e[1])
+    elif e[0] == "in":
+        _collect_params(e[1], out)
+        if isinstance(e[2], tuple):
+            _collect_params(e[2], out)
+        else:
+            for a in e[2]:
+                _collect_params(a, out)
+    elif e[0] == "bin":
+        _collect_params(e[2], out)
+        _collect_params(e[3], out)
+    elif e[0] == "not":
+        _collect_params(e[1], out)
+    elif e[0] == "func":
+        for a in e[2]:
+            _collect_params(a, out)
+    return out
 
 
 _BIN_OPS = {
@@ -449,6 +528,34 @@ def _compile_expr(e, cols: set[str]) -> Column:
         if col not in cols:
             raise ValueError(f"unknown reference {alias}.{prop or 'vid'}")
         return F.col(col)
+    if kind == "param":
+        raise ValueError(
+            f"unbound query parameter ${e[1]} — pass params= to compile_query"
+        )
+    if kind == "in":
+        if isinstance(e[2], tuple):
+            raise ValueError(
+                f"unbound query parameter ${e[2][1]} — pass params= to compile_query"
+            )
+        vals = []
+        for a in e[2]:
+            if a[0] != "lit":
+                raise ValueError("IN list items must be literals")
+            vals.append(a[1])
+        return _compile_expr(e[1], cols).isin(vals)
+    if kind == "bin" and e[1] == "like":
+        if e[3][0] != "lit":
+            raise ValueError("LIKE pattern must be a literal")
+        return _compile_expr(e[2], cols).like(e[3][1])
+    if kind == "bin" and e[1] == "rlike":
+        if e[3][0] != "lit":
+            raise ValueError("RLIKE pattern must be a literal")
+        return _compile_expr(e[2], cols).rlike(e[3][1])
+    if kind == "bin" and e[1] in ("=", "<>") and ("lit", None) in (e[2], e[3]):
+        # KGDSL/QLExpress `x == null` means IS NULL, not SQL 3-valued =
+        other = e[3] if e[2] == ("lit", None) else e[2]
+        c = _compile_expr(other, cols)
+        return c.isNull() if e[1] == "=" else c.isNotNull()
     if kind == "bin":
         return _BIN_OPS[e[1]](_compile_expr(e[2], cols), _compile_expr(e[3], cols))
     if kind == "not":
@@ -490,6 +597,11 @@ def _expr_refs(e, out: set[str]) -> set[str]:
     elif e[0] == "func":
         for a in e[2]:
             _expr_refs(a, out)
+    elif e[0] == "in":
+        _expr_refs(e[1], out)
+        if isinstance(e[2], list):
+            for a in e[2]:
+                _expr_refs(a, out)
     return out
 
 
@@ -517,6 +629,11 @@ def _expr_aliases(e, out: set[str]) -> set[str]:
     elif e[0] == "func":
         for a in e[2]:
             _expr_aliases(a, out)
+    elif e[0] == "in":
+        _expr_aliases(e[1], out)
+        if isinstance(e[2], list):
+            for a in e[2]:
+                _expr_aliases(a, out)
     return out
 
 
@@ -598,6 +715,16 @@ def _traverse(q: Query, graph: PropertyGraph, root: str | None = None) -> DataFr
             pick = next((e for e in pending if e.src in bound or e.dst in bound), None)
         if pick is None:  # disconnected component: cross join its start
             nxt = next(a for a in q.nodes if a not in bound)
+            # correct product-pattern semantics, but the overwhelmingly
+            # common cause is a typo'd alias — surface it loudly
+            import warnings
+
+            warnings.warn(
+                f"pattern component starting at {nxt!r} shares no alias with "
+                f"{sorted(bound)} — planning a cartesian product (row counts "
+                "multiply); check for a misspelled alias",
+                stacklevel=3,
+            )
             df = _apply_ready(df.crossJoin(_bind_vertex(None, nxt, q, graph)))
             bound.add(nxt)
             continue
@@ -610,17 +737,56 @@ def _traverse(q: Query, graph: PropertyGraph, root: str | None = None) -> DataFr
     return df
 
 
-def compile_query(q: Query | str, graph: PropertyGraph, root: str | None = None) -> DataFrame:
+def compile_query(
+    q: Query | str,
+    graph: PropertyGraph,
+    root: str | None = None,
+    params: dict | None = None,
+) -> DataFrame:
     """Lower a parsed Query (or GQL string) to a DataFrame: traverse the
     main MATCH (see _traverse), left-join each OPTIONAL MATCH clause on
     its shared aliases (Optional -> left outer,
     /root/reference/reasoner/lube-logical/src/main/scala/com/antgroup/openspg/reasoner/lube/logical/operators/Optional.scala:20),
     then apply RETURN — aggregates group by the non-aggregate items.
+
+    ``params`` binds ``$name`` references (the reference's
+    parseMultipleStatement(query, params) runtime binding) BEFORE
+    planning, so ``x.id = $p`` seeds the traversal root exactly like a
+    literal equality (IdEqualPushDown).
     """
     if isinstance(q, str):
         q = parse(q)
     if not q.nodes:
         raise ValueError("empty pattern")
+    used = _collect_params(q.where, set()) if q.where is not None else set()
+    for ex, _ in q.returns:
+        _collect_params(ex, used)
+    for ex, _ in q.order_by:
+        _collect_params(ex, used)
+    for opt in q.optionals:
+        if opt.where is not None:
+            _collect_params(opt.where, used)
+    if used or params:
+        p = params or {}
+        missing = used - set(p)
+        if missing:
+            raise ValueError(
+                f"unbound query parameter(s): {sorted('$' + m for m in missing)}"
+            )
+        # bind on a copy — the caller may reuse the parsed Query with
+        # different params (the point of parameterized queries)
+        import copy
+
+        q = copy.copy(q)
+        q.where = bind_params(q.where, p) if q.where is not None else None
+        q.returns = [(bind_params(ex, p), name) for ex, name in q.returns]
+        q.order_by = [(bind_params(ex, p), asc) for ex, asc in q.order_by]
+        opts = []
+        for opt in q.optionals:
+            o2 = copy.copy(opt)
+            o2.where = bind_params(opt.where, p) if opt.where is not None else None
+            opts.append(o2)
+        q.optionals = opts
 
     df = _traverse(q, graph, root)
 

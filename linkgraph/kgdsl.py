@@ -1,0 +1,914 @@
+"""KGDSL native dialect: ``GraphStructure{} Rule{} Action{}`` statements
+and ``Define (s:T)-[p:pred]->(o:Type) { ... }`` derived-predicate
+definitions, compiled onto the same DataFrame lowering as gql.py.
+
+Reference parity (the other half of the reference grammar, which gql.py's
+MATCH/RETURN form does not cover):
+  grammar    /root/reference/reasoner/kgdsl-parser/src/main/antlr4/com/antgroup/openspg/reasoner/KGDSL.g4:38
+             (``base_rule_define : the_graph_structure the_rule? create_action?``)
+             and :47 (``base_predicated_define`` = Define blocks)
+  parser     OpenSPGDslParser.scala:86-116 (parseMultipleStatement);
+             rule exprs are QLExpress strings (RuleRunner.java:47-53)
+  examples   the shipped .dsl / test DSLs, e.g.
+             runner/local-runner/src/test/java/.../LocalRunnerTest.java:44-55,
+             KgReasonerZijinLocalTest.java:106-156 (Define chains),
+             KgReasonerLeadToTest.java:115-133 (createNodeInstance/
+             createEdgeInstance Action DDL)
+  DAG        multi-statement scripts run in dependency order
+             (lube-logical/.../validate/Validator.scala:29-45, Dag.scala)
+
+Surface (each piece mirrored from a reference test/example):
+
+    Define (s:Account)-[p:cur_month_num]->(o:Int) {
+        GraphStructure { (u:Account)-[t:accountFundContact]-(s) }
+        Rule {
+            R1("recent"): t.transDate >= 20240101
+            o = group(s).count(t.transDate)
+        }
+    }
+    GraphStructure {
+        (s:Account)
+    }
+    Rule { R0: s.cur_month_num > 10 }
+    Action { get(s.id, s.cur_month_num) }
+
+* Rule lines are newline-separated: named filters ``R1: expr`` /
+  ``R1("desc"): expr``, let-bindings ``x = expr`` (inlined into later
+  expressions, QLExpress variable semantics), aggregations
+  ``x = group(a,b).fn(arg)``, and property assignments ``p.x = expr``.
+* Rule operators ``==  !=  &&  ||  !  in  like  rlike  null`` normalize
+  onto the gql expression AST (``== null`` means IS NULL, as QLExpress).
+* Define with a primitive object type (Int/Float/Boolean/Text/...) is
+  AddProperty: a new property ``pred`` on the subject label's vertex
+  table. With an entity object type it is AddPredicate: a new derived
+  edge table ``pred`` with properties from ``p.x = ...`` assignments.
+  (ResultBlock.scala:75-112.)
+* Action ``get(...)`` yields the result table; ``createNodeInstance`` /
+  ``createEdgeInstance`` yield DDL delta frames (AddVertex/AddPredicate)
+  applied to the working graph and optionally upserted to a TableStore.
+
+Scale note: everything lowers to the gql planner's join pipeline —
+no collect()s, no per-row Python; Define property-writes are one
+aggregate + one left join per definition.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph import gql
+
+# object types that make a Define an AddProperty (vs AddPredicate);
+# KgType.scala:26-34 primitive set as spelled in the shipped DSLs
+_PRIMITIVE_TYPES = {
+    "int", "integer", "long", "float", "double", "boolean", "bool",
+    "text", "string", "char", "character", "date", "number",
+}
+
+_TOKEN_RE = re.compile(
+    r"""[ \t\r]*(?:
+      (?P<comment>//[^\n]*)
+    | (?P<nl>\n)
+    | (?P<num>\d+(?:\.\d+)?)
+    | (?P<dstr>"[^"]*")
+    | (?P<sstr>'[^']*')
+    | (?P<bq>`[^`]*`)
+    | (?P<param>\$[^\W\d]\w*)
+    | (?P<name>[^\W\d]\w*(?:\.[^\W\d]\w*)*)
+    | (?P<op><-|->|==|!=|<=|>=|&&|\|\||\.\.|[{}()\[\],:\-.*<>=+/%|!])
+    )""",
+    re.X,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    """KGDSL tokens, normalized onto gql's kinds: ``==``->``=``,
+    ``!=``->``<>``, ``&&``/``||``/``!`` -> and/or/not keywords, both
+    quote styles -> str, backquoted names -> name. Newlines are kept as
+    ('nl','') — they terminate rule/action statements."""
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == pos:
+            if text[pos:].strip():
+                raise SyntaxError(f"cannot tokenize at: {text[pos:pos + 30]!r}")
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "comment":
+            continue
+        if kind == "nl":
+            out.append(("nl", ""))
+        elif kind == "num":
+            out.append(("num", m.group("num")))
+        elif kind in ("dstr", "sstr"):
+            out.append(("str", m.group(kind)[1:-1]))
+        elif kind == "bq":
+            out.append(("name", m.group("bq")[1:-1]))
+        elif kind == "param":
+            out.append(("param", m.group("param")[1:]))
+        elif kind == "name":
+            name = m.group("name")
+            low = name.lower()
+            if low in ("in", "like", "rlike", "and", "or", "not"):
+                out.append(("kw", low))
+            else:
+                out.append(("name", name))
+        else:
+            op = m.group("op")
+            if op == "==":
+                out.append(("op", "="))
+            elif op == "!=":
+                out.append(("op", "<>"))
+            elif op == "&&":
+                out.append(("kw", "and"))
+            elif op == "||":
+                out.append(("kw", "or"))
+            elif op == "!":
+                out.append(("kw", "not"))
+            else:
+                out.append(("op", op))
+    out.append(("eof", ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DefineHead:
+    """``Define (s:SubjLabel)-[p:pred]->(o:ObjType)``"""
+
+    subj: str
+    subj_label: str
+    pred_alias: str
+    pred: str
+    obj: str
+    obj_type: str
+
+    @property
+    def is_property(self) -> bool:
+        return self.obj_type.lower() in _PRIMITIVE_TYPES
+
+
+@dataclass
+class NodeInstance:
+    """Action ``createNodeInstance(type=T, value={...})`` (AddVertex)."""
+
+    var: str | None  # assignment target, referenceable by createEdgeInstance
+    type: str
+    value: list[tuple[str, tuple]]  # (prop, expr AST)
+
+
+@dataclass
+class EdgeInstance:
+    """Action ``createEdgeInstance(src=, dst=, type=, value={})``
+    (AddPredicate)."""
+
+    src: str  # pattern alias or NodeInstance var
+    dst: str
+    type: str
+    value: list[tuple[str, tuple]]
+
+
+@dataclass
+class Statement:
+    define: DefineHead | None = None
+    query: gql.Query = field(default_factory=gql.Query)
+    filters: list = field(default_factory=list)  # expr ASTs (conjuncts)
+    lets: dict = field(default_factory=dict)  # name -> expr AST (inlined)
+    aggs: dict = field(default_factory=dict)  # name -> (group_aliases, fn, arg ASTs)
+    propsets: list = field(default_factory=list)  # (alias, prop, expr AST)
+    gets: list | None = None  # Action get(...) item ASTs
+    node_instances: list[NodeInstance] = field(default_factory=list)
+    edge_instances: list[EdgeInstance] = field(default_factory=list)
+
+    @property
+    def produced(self) -> set[str]:
+        out = set()
+        if self.define is not None:
+            out.add(self.define.pred)
+        for ni in self.node_instances:
+            out.add(ni.type)
+        for ei in self.edge_instances:
+            out.add(ei.type)
+        return out
+
+    @property
+    def consumed(self) -> set[str]:
+        out: set[str] = set()
+        for e in self.query.edges:
+            if isinstance(e.rel, tuple):
+                out |= set(e.rel)
+            elif e.rel is not None:
+                out.add(e.rel)
+        for n in self.query.nodes.values():
+            if n.label is not None:
+                out.add(n.label)
+        # property references: alias.prop consumes prop (a Define's output)
+        refs: set[str] = set()
+        for f2 in self.filters:
+            gql._expr_refs(f2, refs)
+        for _, _, ex in self.propsets:
+            gql._expr_refs(ex, refs)
+        for _, (_, _, args) in self.aggs.items():
+            for a in args:
+                gql._expr_refs(a, refs)
+        if self.gets:
+            for ex in self.gets:
+                gql._expr_refs(ex, refs)
+        for ni in self.node_instances:
+            for _, ex in ni.value:
+                gql._expr_refs(ex, refs)
+        for ei in self.edge_instances:
+            for _, ex in ei.value:
+                gql._expr_refs(ex, refs)
+        for r in refs:
+            _, _, prop = r.partition("__")
+            if prop and prop != "vid":
+                out.add(prop)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+
+class _ExprParser(gql._Parser):
+    """gql expression grammar over pre-normalized KGDSL tokens; extends
+    _primary with null/true/false literals and dotted alias.prop names
+    (one token here, alias '.' prop in gql)."""
+
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def _primary(self):
+        t = self.peek()
+        if t[0] == "name":
+            low = t[1].lower()
+            if low == "null":
+                self.next()
+                return ("lit", None)
+            if low == "true":
+                self.next()
+                return ("lit", True)
+            if low == "false":
+                self.next()
+                return ("lit", False)
+            if "." in t[1]:
+                self.next()
+                alias, _, prop = t[1].partition(".")
+                return ("ref", alias, prop)
+        return super()._primary()
+
+
+def _parse_expr(toks: list[tuple[str, str]]) -> tuple:
+    p = _ExprParser(list(toks) + [("eof", "")])
+    e = p._expr()
+    if p.peek()[0] != "eof":
+        raise SyntaxError(f"trailing tokens in expression: {p.peek()}")
+    return e
+
+
+class _PatternParser(gql._Parser):
+    """gql pattern grammar over KGDSL tokens; labels may be dotted
+    (one token) and concept-qualified: ``(s:Type/`concept`)`` adds an
+    equality conjunct on the vertex's ``concept`` property (the
+    instance-of constraint the reference resolves via belongTo)."""
+
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+        self.concept_filters: list = []
+
+    def _node(self, q: gql.Query) -> str:
+        self.expect("op", "(")
+        alias = self.expect("name")[1]
+        label = None
+        if self.accept("op", ":"):
+            label = self.expect("name")[1]
+            if self.accept("op", "/"):
+                concept = self.expect("name")[1]
+                self.concept_filters.append(
+                    ("bin", "=", ("ref", alias, "concept"), ("lit", concept))
+                )
+        self.expect("op", ")")
+        if any(ep.alias == alias for ep in q.edges):
+            raise SyntaxError(f"node alias {alias!r} collides with an edge alias")
+        prev = q.nodes.get(alias)
+        if prev is not None and label is not None and prev.label not in (None, label):
+            raise SyntaxError(f"alias {alias} bound to two labels")
+        if prev is None or (prev.label is None and label is not None):
+            q.nodes[alias] = gql.NodePat(alias, label)
+        return alias
+
+
+def _split_lines(toks: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
+    """Split a block's tokens into statements on newlines at paren/
+    bracket depth 0 (a multi-line createNodeInstance(...) call stays one
+    statement)."""
+    lines: list[list[tuple[str, str]]] = [[]]
+    depth = 0
+    for t in toks:
+        if t[0] == "op" and t[1] in "([{":
+            depth += 1
+        elif t[0] == "op" and t[1] in ")]}":
+            depth -= 1
+        if t == ("nl", "") and depth == 0:
+            if lines[-1]:
+                lines.append([])
+            continue
+        if t != ("nl", ""):
+            lines[-1].append(t)
+    return [ln for ln in lines if ln]
+
+
+class _ScriptParser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    def _peek(self, skip_nl: bool = True):
+        j = self.i
+        while skip_nl and self.toks[j] == ("nl", ""):
+            j += 1
+        return self.toks[j]
+
+    def _next(self, skip_nl: bool = True):
+        while skip_nl and self.toks[self.i] == ("nl", ""):
+            self.i += 1
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _expect(self, kind, val=None):
+        t = self._next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise SyntaxError(f"expected {val or kind}, got {t}")
+        return t
+
+    def _block(self) -> list[tuple[str, str]]:
+        """Consume a brace-balanced { ... } and return its inner tokens."""
+        self._expect("op", "{")
+        depth = 1
+        out: list[tuple[str, str]] = []
+        while True:
+            t = self.toks[self.i]
+            self.i += 1
+            if t[0] == "eof":
+                raise SyntaxError("unterminated { block")
+            if t == ("op", "{"):
+                depth += 1
+            elif t == ("op", "}"):
+                depth -= 1
+                if depth == 0:
+                    return out
+            out.append(t)
+
+    def parse(self) -> list[Statement]:
+        stmts: list[Statement] = []
+        while self._peek()[0] != "eof":
+            t = self._peek()
+            if t == ("name", "Define"):
+                stmts.append(self._define())
+            elif t == ("name", "GraphStructure"):
+                stmts.append(self._base_rule(None))
+            else:
+                raise SyntaxError(f"expected Define or GraphStructure, got {t}")
+        return stmts
+
+    def _define(self) -> Statement:
+        self._expect("name", "Define")
+        self._expect("op", "(")
+        subj = self._expect("name")[1]
+        self._expect("op", ":")
+        subj_label = self._expect("name")[1]
+        self._expect("op", ")")
+        self._expect("op", "-")
+        self._expect("op", "[")
+        pred_alias = self._expect("name")[1]
+        self._expect("op", ":")
+        pred = self._expect("name")[1]
+        self._expect("op", "]")
+        self._expect("op", "->")
+        self._expect("op", "(")
+        obj = self._expect("name")[1]
+        self._expect("op", ":")
+        obj_type = self._expect("name")[1]
+        self._expect("op", ")")
+        head = DefineHead(subj, subj_label, pred_alias, pred, obj, obj_type)
+        self._expect("op", "{")
+        stmt = self._base_rule(head)
+        self._expect("op", "}")
+        return stmt
+
+    def _base_rule(self, head: DefineHead | None) -> Statement:
+        self._expect("name", "GraphStructure")
+        stmt = Statement(define=head)
+        if head is not None:
+            # the Define head binds the subject's label for the body
+            stmt.query.nodes[head.subj] = gql.NodePat(head.subj, head.subj_label)
+        self._parse_graph_structure(stmt, self._block())
+        if self._peek() == ("name", "Rule"):
+            self._next()
+            self._parse_rule(stmt, self._block())
+        if self._peek() == ("name", "Action"):
+            self._next()
+            self._parse_action(stmt, self._block())
+        return stmt
+
+    def _parse_graph_structure(self, stmt: Statement, toks) -> None:
+        for line in _split_lines(toks):
+            # comma-chained patterns may share a line; _pattern_chain
+            # consumes one chain, commas continue it (gql behavior)
+            p = _PatternParser(list(line) + [("eof", "")])
+            p._pattern_chain(stmt.query)
+            while p.accept("op", ","):
+                p._pattern_chain(stmt.query)
+            if p.peek()[0] != "eof":
+                raise SyntaxError(f"trailing tokens in pattern: {p.peek()}")
+            stmt.filters.extend(p.concept_filters)
+
+    def _parse_rule(self, stmt: Statement, toks) -> None:
+        for line in _split_lines(toks):
+            # R1: expr   |   R1("desc"): expr
+            if (
+                line[0][0] == "name"
+                and "." not in line[0][1]
+                and len(line) > 1
+                and (
+                    line[1] == ("op", ":")
+                    or (
+                        line[1] == ("op", "(")
+                        and len(line) > 4
+                        and line[2][0] == "str"
+                        and line[3] == ("op", ")")
+                        and line[4] == ("op", ":")
+                    )
+                )
+            ):
+                body = line[2:] if line[1] == ("op", ":") else line[5:]
+                stmt.filters.append(_parse_expr(body))
+                continue
+            # name = ... | alias.prop = ...
+            if len(line) > 1 and line[0][0] == "name" and line[1] == ("op", "="):
+                target, body = line[0][1], line[2:]
+                if self._is_group_call(body):
+                    agg = self._parse_group_call(body)
+                    if "." in target:
+                        alias, _, prop = target.partition(".")
+                        stmt.aggs[f"{alias}.{prop}"] = agg
+                        stmt.propsets.append(
+                            (alias, prop, ("ref", "__agg__", f"{alias}.{prop}"))
+                        )
+                    else:
+                        stmt.aggs[target] = agg
+                    continue
+                ex = _parse_expr(body)
+                if "." in target:
+                    alias, _, prop = target.partition(".")
+                    stmt.propsets.append((alias, prop, ex))
+                else:
+                    stmt.lets[target] = ex
+                continue
+            raise SyntaxError(f"cannot parse rule line: {line}")
+
+    @staticmethod
+    def _is_group_call(toks) -> bool:
+        return bool(toks) and toks[0] == ("name", "group")
+
+    @staticmethod
+    def _parse_group_call(toks):
+        """``group(a[,b...]).fn(args)`` -> (aliases, fn, arg ASTs)."""
+        p = _ExprParser(list(toks) + [("eof", "")])
+        p.expect("name", "group")
+        p.expect("op", "(")
+        aliases = [p.expect("name")[1]]
+        while p.accept("op", ","):
+            aliases.append(p.expect("name")[1])
+        p.expect("op", ")")
+        p.expect("op", ".")
+        fn = p.expect("name")[1].lower()
+        p.expect("op", "(")
+        args = []
+        if p.peek() != ("op", ")"):
+            args.append(p._expr())
+            while p.accept("op", ","):
+                args.append(p._expr())
+        p.expect("op", ")")
+        if p.peek()[0] != "eof":
+            raise SyntaxError(f"trailing tokens after group call: {p.peek()}")
+        return (aliases, fn, args)
+
+    def _parse_action(self, stmt: Statement, toks) -> None:
+        for line in _split_lines(toks):
+            if line[0] == ("name", "get"):
+                p = _ExprParser(list(line) + [("eof", "")])
+                p.expect("name", "get")
+                p.expect("op", "(")
+                items = [p._expr()]
+                while p.accept("op", ","):
+                    items.append(p._expr())
+                p.expect("op", ")")
+                stmt.gets = items
+                continue
+            var = None
+            rest = line
+            if (
+                len(line) > 1
+                and line[0][0] == "name"
+                and line[1] == ("op", "=")
+                and line[2][0] == "name"
+                and line[2][1] in ("createNodeInstance", "createEdgeInstance")
+            ):
+                var = line[0][1]
+                rest = line[2:]
+            if rest[0] == ("name", "createNodeInstance"):
+                kw = self._parse_kwargs(rest[1:])
+                typ = kw.get("type")
+                if typ is None or typ[0] != "ref" or typ[2] is not None:
+                    raise SyntaxError("createNodeInstance needs type=<Name>")
+                stmt.node_instances.append(
+                    NodeInstance(var, typ[1], kw.get("value", []))
+                )
+                continue
+            if rest[0] == ("name", "createEdgeInstance"):
+                kw = self._parse_kwargs(rest[1:])
+                for k in ("src", "dst", "type"):
+                    v = kw.get(k)
+                    if v is None or v[0] != "ref" or v[2] is not None:
+                        raise SyntaxError(f"createEdgeInstance needs {k}=<alias>")
+                stmt.edge_instances.append(
+                    EdgeInstance(
+                        kw["src"][1], kw["dst"][1], kw["type"][1],
+                        kw.get("value", []),
+                    )
+                )
+                continue
+            raise SyntaxError(f"cannot parse action line: {line}")
+
+    @staticmethod
+    def _parse_kwargs(toks):
+        """``(k=v, ..., value={p = expr ...})`` -> dict; value parses to a
+        list of (prop, expr AST)."""
+        p = _ExprParser(list(toks) + [("eof", "")])
+        p.expect("op", "(")
+        out: dict = {}
+        while p.peek() != ("op", ")"):
+            key = p.expect("name")[1]
+            p.expect("op", "=")
+            if key == "value":
+                p.expect("op", "{")
+                entries: list[tuple[str, tuple]] = []
+                while p.peek() != ("op", "}"):
+                    prop = p.expect("name")[1]
+                    p.expect("op", "=")
+                    entries.append((prop, p._expr()))
+                    p.accept("op", ",")
+                p.expect("op", "}")
+                out["value"] = entries
+            else:
+                out[key] = p._expr()
+            p.accept("op", ",")
+        p.expect("op", ")")
+        return out
+
+
+def parse_script(text: str) -> list[Statement]:
+    """Parse a KGDSL script (one or more Define / GraphStructure
+    statements) into Statement ASTs — the parser-golden surface
+    mirroring OpenSPGDslParserTest's KGDSL cases."""
+    return _ScriptParser(text).parse()
+
+
+# ---------------------------------------------------------------------------
+# lowering / execution
+# ---------------------------------------------------------------------------
+
+
+def _inline_lets(e, lets: dict):
+    """QLExpress let semantics: a bare name bound by ``x = expr`` is the
+    expression, inlined (recursively — lets may reference earlier lets)."""
+    if not isinstance(e, tuple):
+        return e
+    if e[0] == "ref" and e[2] is None and e[1] in lets:
+        return lets[e[1]]
+    if e[0] == "bin":
+        return ("bin", e[1], _inline_lets(e[2], lets), _inline_lets(e[3], lets))
+    if e[0] == "not":
+        return ("not", _inline_lets(e[1], lets))
+    if e[0] == "func":
+        return ("func", e[1], [_inline_lets(a, lets) for a in e[2]])
+    if e[0] == "in" and isinstance(e[2], list):
+        return ("in", _inline_lets(e[1], lets), [_inline_lets(a, lets) for a in e[2]])
+    if e[0] == "in":
+        return ("in", _inline_lets(e[1], lets), e[2])
+    return e
+
+
+def _resolve_lets(stmt: Statement) -> dict:
+    """Fixed-point inline so ``b = a + 1`` after ``a = 2`` fully expands."""
+    lets: dict = {}
+    for name, ex in stmt.lets.items():
+        lets[name] = _inline_lets(ex, lets)
+    return lets
+
+
+def _agg_column(fn: str, args, cols) -> Column:
+    from linkgraph.functions import AGGREGATES
+
+    if fn == "count" and len(args) == 1 and args[0] == ("star",):
+        return F.count(F.lit(1))
+    agg = AGGREGATES.get(fn)
+    if agg is None:
+        raise ValueError(f"unknown aggregate function {fn!r} in group().{fn}()")
+    compiled = [
+        a[1] if a[0] == "lit" else gql._compile_expr(a, cols) for a in args
+    ]
+    return agg(*compiled)
+
+
+@dataclass
+class KgdslResult:
+    """run_script output: the final get() table (None for pure-DDL
+    scripts), the working graph with every Define/DDL applied, and the
+    delta frames per created type."""
+
+    table: DataFrame | None
+    graph: gql.PropertyGraph
+    ddl: dict[str, DataFrame]
+
+
+def _toposort(stmts: list[Statement]) -> list[Statement]:
+    """Dependency order (Validator/Dag analog): a statement consuming a
+    name another statement produces runs after it; ties keep script
+    order. Cycles raise."""
+    produced: dict[str, int] = {}
+    for i, s in enumerate(stmts):
+        for p in s.produced:
+            produced.setdefault(p, i)
+    deps: dict[int, set[int]] = {
+        i: {
+            produced[c]
+            for c in s.consumed
+            if c in produced and produced[c] != i
+        }
+        for i, s in enumerate(stmts)
+    }
+    done: list[int] = []
+    seen: set[int] = set()
+    mark: set[int] = set()
+
+    def visit(i: int) -> None:
+        if i in seen:
+            return
+        if i in mark:
+            raise ValueError("cyclic dependency between KGDSL statements")
+        mark.add(i)
+        for d in sorted(deps[i]):
+            visit(d)
+        mark.discard(i)
+        seen.add(i)
+        done.append(i)
+
+    for i in range(len(stmts)):
+        visit(i)
+    return [stmts[i] for i in done]
+
+
+def _bind_stmt_params(stmt: Statement, params: dict | None) -> Statement:
+    p = params or {}
+    stmt.filters = [gql.bind_params(f2, p) for f2 in stmt.filters]
+    stmt.lets = {k: gql.bind_params(v, p) for k, v in stmt.lets.items()}
+    if stmt.gets:
+        stmt.gets = [gql.bind_params(g, p) for g in stmt.gets]
+    return stmt
+
+
+def _matched(stmt: Statement, graph: gql.PropertyGraph) -> DataFrame:
+    """Traverse the GraphStructure pattern with Rule filters placed as
+    early as their columns bind (the gql planner does the placement)."""
+    lets = _resolve_lets(stmt)
+    q = stmt.query
+    q.where = None
+    conj = [_inline_lets(f2, lets) for f2 in stmt.filters]
+    for c in conj:
+        q.where = c if q.where is None else ("bin", "and", q.where, c)
+    return gql._traverse(q, graph)
+
+
+def _run_define(stmt: Statement, graph: gql.PropertyGraph) -> tuple[str, DataFrame]:
+    head = stmt.define
+    assert head is not None
+    lets = _resolve_lets(stmt)
+    df = _matched(stmt, graph)
+    cols = set(df.columns)
+    skey = f"{head.subj}__vid"
+
+    if head.is_property:
+        # AddProperty: one value per subject. Target value comes from the
+        # ``o = ...`` rule line (expression or group() aggregation).
+        if head.obj in stmt.aggs:
+            aliases, fn, args = stmt.aggs[head.obj]
+            args = [_inline_lets(a, lets) for a in args]
+            keys = [f"{a}__vid" for a in aliases]
+            if skey not in keys:
+                keys = [skey] + keys
+            out = df.groupBy(*keys).agg(
+                _agg_column(fn, args, cols).alias(head.pred)
+            )
+            return head.pred, out.select(F.col(skey).alias("vid"), head.pred)
+        if head.obj in lets:
+            val = gql._compile_expr(lets[head.obj], cols)
+        else:
+            target = next(
+                (ex for a, p2, ex in stmt.propsets if a == head.obj), None
+            )
+            if target is None:
+                raise ValueError(
+                    f"Define {head.pred}: no `{head.obj} = ...` rule line"
+                )
+            val = gql._compile_expr(_inline_lets(target, lets), cols)
+        out = df.select(F.col(skey).alias("vid"), val.alias(head.pred))
+        # deterministic collapse if the pattern fans out (single-node
+        # patterns — the common case — are 1 row per subject already)
+        return head.pred, out.groupBy("vid").agg(
+            F.min(head.pred).alias(head.pred)
+        )
+
+    # AddPredicate: derived edge (subject)-[pred]->(object alias); edge
+    # properties from ``p.x = ...`` lines (aggregated per (s,o) pair).
+    okey = f"{head.obj}__vid"
+    if okey not in cols:
+        raise ValueError(
+            f"Define {head.pred}: object alias {head.obj!r} is not bound "
+            "by the GraphStructure pattern"
+        )
+    group_keys = [skey, okey]
+    agg_cols = []
+    plain_sets = []
+    for alias, prop, ex in stmt.propsets:
+        if alias != head.pred_alias:
+            continue
+        if ex[0] == "ref" and ex[1] == "__agg__":
+            aliases, fn, args = stmt.aggs[ex[2]]
+            args = [_inline_lets(a, lets) for a in args]
+            agg_cols.append(_agg_column(fn, args, cols).alias(prop))
+        else:
+            plain_sets.append((prop, _inline_lets(ex, lets)))
+    # let-only aggs assigned via `x = group(...)...; p.y = x`
+    for prop, ex in list(plain_sets):
+        if ex[0] == "ref" and ex[2] is None and ex[1] in stmt.aggs:
+            aliases, fn, args = stmt.aggs[ex[1]]
+            args = [_inline_lets(a, lets) for a in args]
+            agg_cols.append(_agg_column(fn, args, cols).alias(prop))
+            plain_sets.remove((prop, ex))
+    if plain_sets:
+        # non-aggregated props: compute per row, take per-pair min for a
+        # deterministic value when the pattern fans out
+        exprs = [
+            gql._compile_expr(ex, cols).alias(prop) for prop, ex in plain_sets
+        ]
+        df = df.select(*df.columns, *exprs)
+        cols = set(df.columns)
+        agg_cols.extend(F.min(prop).alias(prop) for prop, _ in plain_sets)
+    out = df.groupBy(*group_keys).agg(*agg_cols) if agg_cols else (
+        df.select(*group_keys).dropDuplicates()
+    )
+    out = out.select(
+        F.col(skey).alias("src"),
+        F.col(okey).alias("dst"),
+        *[c for c in out.columns if c not in group_keys],
+    )
+    return head.pred, out
+
+
+def _run_action_ddl(
+    stmt: Statement, df: DataFrame, graph: gql.PropertyGraph
+) -> dict[str, DataFrame]:
+    """createNodeInstance / createEdgeInstance over the matched rows
+    (AddVertex / AddPredicate, ResultBlock.scala:97-112). New vertices
+    get ``vid = xxhash64(id)`` — the reference's hash64 biz-id scheme
+    (IVertexId, common/graph/vertex/impl/VertexId.java:30-32)."""
+    cols = set(df.columns)
+    ddl: dict[str, DataFrame] = {}
+    var_vid: dict[str, Column] = {}
+    for ni in stmt.node_instances:
+        exprs = [gql._compile_expr(ex, cols).alias(p) for p, ex in ni.value]
+        id_expr = next(
+            (gql._compile_expr(ex, cols) for p, ex in ni.value if p == "id"),
+            None,
+        )
+        if id_expr is None:
+            raise ValueError(
+                f"createNodeInstance(type={ni.type}) needs an id= entry"
+            )
+        vid = F.xxhash64(id_expr.cast("string"))
+        nd = df.select(vid.alias("vid"), *exprs).dropDuplicates(["vid"])
+        ddl[ni.type] = nd
+        graph.vertices[ni.type] = (
+            graph.vertices[ni.type].unionByName(nd, allowMissingColumns=True)
+            if ni.type in graph.vertices
+            else nd
+        )
+        if ni.var:
+            var_vid[ni.var] = vid
+    for ei in stmt.edge_instances:
+        def endpoint(name: str) -> Column:
+            if name in var_vid:
+                return var_vid[name]
+            col = f"{name}__vid"
+            if col not in cols:
+                raise ValueError(
+                    f"createEdgeInstance: {name!r} is neither a pattern "
+                    "alias nor a created node variable"
+                )
+            return F.col(col)
+
+        exprs = [gql._compile_expr(ex, cols).alias(p) for p, ex in ei.value]
+        ed = df.select(
+            endpoint(ei.src).alias("src"), endpoint(ei.dst).alias("dst"), *exprs
+        ).dropDuplicates(["src", "dst"])
+        ddl[ei.type] = ed
+        graph.edges[ei.type] = (
+            graph.edges[ei.type].unionByName(ed, allowMissingColumns=True)
+            if ei.type in graph.edges
+            else ed
+        )
+    return ddl
+
+
+def run_script(
+    text: str | list[Statement],
+    graph: gql.PropertyGraph,
+    params: dict | None = None,
+    store=None,
+) -> KgdslResult:
+    """Execute a KGDSL script: Defines (in dependency order) extend the
+    working graph with derived properties/edges; the final
+    GraphStructure/Rule/Action statement's ``get`` produces the result
+    table; create*Instance DDL applies to the graph and, when a
+    ``linkgraph.tables.TableStore`` is passed, upserts each delta
+    (vertices keyed on vid; edges on an xxhash64(src,dst) edge_key)."""
+    stmts = parse_script(text) if isinstance(text, str) else text
+    stmts = _toposort([_bind_stmt_params(s, params) for s in stmts])
+    g = gql.PropertyGraph(dict(graph.vertices), dict(graph.edges))
+    table: DataFrame | None = None
+    ddl: dict[str, DataFrame] = {}
+
+    for stmt in stmts:
+        if stmt.define is not None:
+            name, out = _run_define(stmt, g)
+            head = stmt.define
+            if head.is_property:
+                if head.subj_label not in g.vertices:
+                    raise ValueError(
+                        f"Define {name}: unknown vertex label {head.subj_label!r}"
+                    )
+                g.vertices[head.subj_label] = g.vertices[head.subj_label].join(
+                    out, "vid", "left"
+                )
+                ddl[name] = out
+            else:
+                g.edges[name] = out
+                ddl[name] = out
+            continue
+        df = _matched(stmt, g)
+        if stmt.node_instances or stmt.edge_instances:
+            new = _run_action_ddl(stmt, df, g)
+            ddl.update(new)
+            if store is not None:
+                for typ, frame in new.items():
+                    if "src" in frame.columns:
+                        keyed = frame.withColumn(
+                            "edge_key",
+                            F.xxhash64(
+                                F.col("src").cast("string"),
+                                F.col("dst").cast("string"),
+                            ),
+                        )
+                        store.upsert(f"edges_{typ}", keyed, "edge_key")
+                    else:
+                        store.upsert(f"vertices_{typ}", frame, "vid")
+        if stmt.gets:
+            lets = _resolve_lets(stmt)
+            cols = set(df.columns)
+            sel = []
+            for ex in stmt.gets:
+                ex = _inline_lets(ex, lets)
+                if ex[0] == "ref":
+                    nm = f"{ex[1]}_{ex[2]}" if ex[2] else ex[1]
+                else:
+                    nm = f"col{len(sel)}"
+                sel.append(gql._compile_expr(ex, cols).alias(nm))
+            table = df.select(*sel)
+    return KgdslResult(table=table, graph=g, ddl=ddl)

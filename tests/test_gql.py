@@ -368,3 +368,86 @@ def test_parser_fuzz_no_crash_and_deterministic():
             parse(cut)
         except SyntaxError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# round-3 surface: $params, IN / LIKE / RLIKE, cross-join guard
+# ---------------------------------------------------------------------------
+
+
+def test_parse_param_and_in_like_rlike():
+    q = parse(
+        "MATCH (a)-[]->(b) WHERE a.id = $seed AND b.name like 'a%' "
+        "AND a.name rlike 'x.*' AND b.id in (1, 2, 3) RETURN a, b"
+    )
+    conj = gql._conjuncts(q.where)
+    assert ("bin", "=", ("ref", "a", "id"), ("param", "seed")) in conj
+    assert ("bin", "like", ("ref", "b", "name"), ("lit", "a%")) in conj
+    assert ("bin", "rlike", ("ref", "a", "name"), ("lit", "x.*")) in conj
+    assert ("in", ("ref", "b", "id"), [("lit", 1), ("lit", 2), ("lit", 3)]) in conj
+
+
+def test_param_binding_and_reuse(g):
+    q = parse("MATCH (a)-[]->(b) WHERE a = $seed RETURN b AS b")
+    got1 = {r["b"] for r in compile_query(q, g, params={"seed": 1}).collect()}
+    got2 = {r["b"] for r in compile_query(q, g, params={"seed": 2}).collect()}
+    assert got1 == {2, 3}
+    assert got2 == {3, 4}
+    # same parsed Query reused with different params — binding is on a copy
+    got1b = {r["b"] for r in compile_query(q, g, params={"seed": 1}).collect()}
+    assert got1b == got1
+
+
+def test_param_unbound_raises(g):
+    q = parse("MATCH (a)-[]->(b) WHERE a = $seed RETURN b AS b")
+    with pytest.raises(ValueError, match=r"\$seed"):
+        compile_query(q, g)
+    with pytest.raises(ValueError, match=r"\$seed"):
+        compile_query(q, g, params={"other": 9})
+
+
+def test_param_pins_traversal_root():
+    """x.id = $p must seed the root exactly like a literal equality
+    (IdEqualPushDown, optimizer/rules/IdEqualPushDown.scala:25)."""
+    q = parse("MATCH (a)-[]->(b)-[]->(c) WHERE c.id = $pin RETURN a, c")
+    assert gql._choose_root(q) == "c"
+
+
+def test_in_list_param(g):
+    q = parse("MATCH (a)-[]->(b) WHERE b in $ids RETURN a AS a, b AS b")
+    got = {
+        (r["a"], r["b"])
+        for r in compile_query(q, g, params={"ids": [3, 5]}).collect()
+    }
+    assert got == {(1, 3), (2, 3), (4, 5)}
+
+
+def test_like_rlike_compile(g):
+    got = {
+        r["n"]
+        for r in compile_query(
+            "MATCH (a)-[]->(b) WHERE b.name like 'c%' RETURN DISTINCT b.name AS n", g
+        ).collect()
+    }
+    assert got == {"c"}
+    got2 = {
+        r["n"]
+        for r in compile_query(
+            "MATCH (a)-[]->(b) WHERE b.name rlike '^[cd]$' "
+            "RETURN DISTINCT b.name AS n",
+            g,
+        ).collect()
+    }
+    assert got2 == {"c", "d"}
+
+
+def test_cross_join_warns(g):
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        n = compile_query(
+            "MATCH (a)-[]->(b), (x)-[]->(y) RETURN a, x", g
+        ).count()
+    assert n == 36  # 6 edges x 6 edges — the product is real
+    assert any("cartesian" in str(w.message) for w in caught)

@@ -1,0 +1,330 @@
+"""KGDSL dialect tests — parse goldens mirror the reference's DSL test
+shapes (LocalRunnerTest.java:44-55 road DSL, KgReasonerZijinLocalTest
+Define chains, KgReasonerLeadToTest createNodeInstance/createEdgeInstance);
+execution tests check results against hand-built DataFrame plans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph import kgdsl
+from linkgraph.gql import PropertyGraph
+from linkgraph.kgdsl import parse_script, run_script
+
+
+# ---------------------------------------------------------------------------
+# parse goldens
+# ---------------------------------------------------------------------------
+
+
+ROAD_DSL = """
+GraphStructure {
+        (s1:Road.Event)-[p1:subject]-(o1:Road.Researcher)
+        (s1:Road.Event)-[p3:object]-(o3:Road.Area)
+}
+Rule {
+        R0: o1.id == "zhangsan"
+        R1: o3.name rlike "north.*"
+}
+Action {
+    get(o3.name)
+}
+"""
+
+
+def test_parse_road_dsl_golden():
+    stmts = parse_script(ROAD_DSL)
+    assert len(stmts) == 1
+    s = stmts[0]
+    assert s.define is None
+    assert set(s.query.nodes) == {"s1", "o1", "o3"}
+    assert s.query.nodes["s1"].label == "Road.Event"
+    assert all(e.undirected for e in s.query.edges)
+    assert {e.rel for e in s.query.edges} == {"subject", "object"}
+    assert ("bin", "=", ("ref", "o1", "id"), ("lit", "zhangsan")) in s.filters
+    assert ("bin", "rlike", ("ref", "o3", "name"), ("lit", "north.*")) in s.filters
+    assert s.gets == [("ref", "o3", "name")]
+
+
+def test_parse_define_golden():
+    stmts = parse_script(
+        """
+Define (s:CustFundKG.Account)-[p:cur_month_num]->(o:Int) {
+    GraphStructure {
+        (u:CustFundKG.Account)-[t:accountFundContact]-(s)
+    }
+    Rule {
+        R1("this month"): t.transDate >= 20240101
+        o = group(s).count(t.transDate)
+    }
+}
+"""
+    )
+    assert len(stmts) == 1
+    s = stmts[0]
+    assert s.define.pred == "cur_month_num"
+    assert s.define.is_property
+    assert s.define.subj_label == "CustFundKG.Account"
+    # the Define head binds the subject's label inside the body
+    assert s.query.nodes["s"].label == "CustFundKG.Account"
+    assert s.aggs["o"] == (["s"], "count", [("ref", "t", "transDate")])
+    assert s.filters == [
+        ("bin", ">=", ("ref", "t", "transDate"), ("lit", 20240101))
+    ]
+
+
+def test_parse_normalized_operators_and_comments():
+    stmts = parse_script(
+        """
+GraphStructure { (a:T)-[e:r]->(b:T) }  // trailing comment
+Rule {
+    R0: a.x != 1 && (b.y == null || !(a.z >= 2))
+    w = a.x * 2
+}
+Action { get(a.id, b.id) }
+"""
+    )
+    s = stmts[0]
+    (f0,) = s.filters
+    assert f0[0] == "bin" and f0[1] == "and"
+    assert f0[2] == ("bin", "<>", ("ref", "a", "x"), ("lit", 1))
+    assert f0[3][1] == "or"
+    assert f0[3][2] == ("bin", "=", ("ref", "b", "y"), ("lit", None))
+    assert s.lets["w"] == ("bin", "*", ("ref", "a", "x"), ("lit", 2))
+
+
+def test_parse_concept_qualified_label():
+    stmts = parse_script(
+        "GraphStructure { (u:RiskApp/`gambling`)-[e:developed]->(a:App) }\n"
+        "Rule { }\nAction { get(u.id) }"
+    )
+    s = stmts[0]
+    assert s.query.nodes["u"].label == "RiskApp"
+    assert ("bin", "=", ("ref", "u", "concept"), ("lit", "gambling")) in s.filters
+
+
+def test_parse_action_ddl_golden():
+    stmts = parse_script(
+        """
+GraphStructure { (s:Corp)-[e:hit]->(o:Accident) }
+Rule { }
+Action {
+    ev = createNodeInstance(
+        type=Influence,
+        value={
+            id = s.id
+            subject = s.name
+            degree = 'down'
+        }
+    )
+    createEdgeInstance(
+        src=s,
+        dst=ev,
+        type=leadTo,
+        value={
+        }
+    )
+}
+"""
+    )
+    s = stmts[0]
+    (ni,) = s.node_instances
+    assert ni.var == "ev" and ni.type == "Influence"
+    assert ("subject", ("ref", "s", "name")) in ni.value
+    (ei,) = s.edge_instances
+    assert (ei.src, ei.dst, ei.type) == ("s", "ev", "leadTo")
+
+
+# ---------------------------------------------------------------------------
+# execution
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def fund_graph(spark):
+    accounts = spark.createDataFrame(
+        [(1, "acc1"), (2, "acc2"), (3, "acc3"), (4, "acc4")],
+        "vid bigint, id string",
+    )
+    transfers = spark.createDataFrame(
+        # (src, dst, transDate, amount)
+        [
+            (1, 2, 20240105, 100.0),
+            (1, 3, 20240110, 50.0),
+            (2, 3, 20231201, 70.0),
+            (3, 4, 20240120, 30.0),
+            (2, 1, 20240102, 10.0),
+        ],
+        "src bigint, dst bigint, transDate int, amount double",
+    )
+    return PropertyGraph({"Account": accounts}, {"transfer": transfers})
+
+
+def test_base_statement_filters_and_get(fund_graph):
+    res = run_script(
+        """
+GraphStructure { (a:Account)-[t:transfer]->(b:Account) }
+Rule {
+    R0: t.transDate >= 20240101
+    R1: t.amount > 20
+}
+Action { get(a.id, b.id, t.amount) }
+""",
+        fund_graph,
+    )
+    got = {(r["a_id"], r["b_id"], r["t_amount"]) for r in res.table.collect()}
+    assert got == {("acc1", "acc2", 100.0), ("acc1", "acc3", 50.0),
+                   ("acc3", "acc4", 30.0)}
+
+
+def test_define_property_then_query_with_toposort(fund_graph):
+    # consumer statement FIRST: the runner must topo-order on the
+    # produced property name (Validator/Dag analog)
+    res = run_script(
+        """
+GraphStructure { (s:Account) }
+Rule { R0: s.out_num >= 2 }
+Action { get(s.id, s.out_num) }
+
+Define (s:Account)-[p:out_num]->(o:Int) {
+    GraphStructure { (s)-[t:transfer]->(u:Account) }
+    Rule {
+        o = group(s).count(t.transDate)
+    }
+}
+""",
+        fund_graph,
+    )
+    got = {(r["s_id"], r["s_out_num"]) for r in res.table.collect()}
+    assert got == {("acc1", 2), ("acc2", 2)}
+    assert "out_num" in res.ddl
+
+
+def test_define_property_expression_with_lets(fund_graph):
+    res = run_script(
+        """
+Define (s:Account)-[p:flag]->(o:Boolean) {
+    GraphStructure { (s) }
+    Rule {
+        nid = s.vid
+        o = nid >= 3
+    }
+}
+GraphStructure { (s:Account) }
+Rule { R0: s.flag == true }
+Action { get(s.id) }
+""",
+        fund_graph,
+    )
+    assert {r["s_id"] for r in res.table.collect()} == {"acc3", "acc4"}
+
+
+def test_define_derived_edge_with_agg_prop(fund_graph):
+    # AttributePOC holdPMProduct2-style: entity object type -> new edge
+    # with an aggregated property (KgReasonerZijinLocalTest.java:161-177)
+    res = run_script(
+        """
+Define (s:Account)-[p:big_partner]->(o:Account) {
+    GraphStructure { (s)-[t:transfer]->(o) }
+    Rule {
+        p.total = group(s,o).sum(t.amount)
+    }
+}
+GraphStructure { (a:Account)-[e:big_partner]->(b:Account) }
+Rule { R0: e.total >= 50 }
+Action { get(a.id, b.id, e.total) }
+""",
+        fund_graph,
+    )
+    got = {(r["a_id"], r["b_id"], r["e_total"]) for r in res.table.collect()}
+    assert got == {("acc1", "acc2", 100.0), ("acc1", "acc3", 50.0),
+                   ("acc2", "acc3", 70.0)}
+    assert set(res.graph.edges) == {"transfer", "big_partner"}
+
+
+def test_action_ddl_creates_nodes_edges_and_upserts(fund_graph, spark, tmp_path):
+    from linkgraph.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    res = run_script(
+        """
+GraphStructure { (a:Account)-[t:transfer]->(b:Account) }
+Rule { R0: t.amount >= 70 }
+Action {
+    ev = createNodeInstance(
+        type=BigTransfer,
+        value={
+            id = a.id
+            amount = t.amount
+        }
+    )
+    createEdgeInstance(
+        src=a,
+        dst=ev,
+        type=flagged,
+        value={
+            when = t.transDate
+        }
+    )
+}
+""",
+        fund_graph,
+        store=store,
+    )
+    assert res.table is None
+    assert "BigTransfer" in res.graph.vertices
+    assert "flagged" in res.graph.edges
+    assert res.graph.vertices["BigTransfer"].count() == 2  # acc1, acc2 rows
+    # DDL persisted through the TableStore (GraphStoreSinkWriter analog)
+    assert store.read("vertices_BigTransfer").count() == 2
+    assert store.read("edges_flagged").count() == 2
+    # the new edge type is queryable in a follow-up script run
+    res2 = run_script(
+        "GraphStructure { (a:Account)-[f:flagged]->(e:BigTransfer) }\n"
+        "Rule { }\nAction { get(a.id, f.when) }",
+        res.graph,
+    )
+    assert {r["f_when"] for r in res2.table.collect()} == {20240105, 20231201}
+
+
+def test_params_bind_in_rules(fund_graph):
+    res = run_script(
+        """
+GraphStructure { (a:Account)-[t:transfer]->(b:Account) }
+Rule { R0: t.amount >= $minamt }
+Action { get(a.id, b.id) }
+""",
+        fund_graph,
+        params={"minamt": 70},
+    )
+    got = {(r["a_id"], r["b_id"]) for r in res.table.collect()}
+    assert got == {("acc1", "acc2"), ("acc2", "acc3")}
+
+
+def test_null_equality_is_null_semantics(spark):
+    verts = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5)], "vid bigint, id string, x int"
+    )
+    g = PropertyGraph({"V": verts}, {"E": spark.createDataFrame(
+        [(1, 2)], "src bigint, dst bigint")})
+    res = run_script(
+        "GraphStructure { (v:V) }\nRule { R0: v.x == null }\nAction { get(v.id) }",
+        g,
+    )
+    assert {r["v_id"] for r in res.table.collect()} == {"a"}
+
+
+def test_cycle_detection():
+    with pytest.raises(ValueError, match="cyclic"):
+        run_script(
+            """
+Define (s:A)-[p:x]->(o:Int) {
+    GraphStructure { (s)-[e:y]->(u:A) }
+    Rule { o = group(s).count(e.ts) }
+}
+Define (s:A)-[p:y]->(o:A) {
+    GraphStructure { (s)-[e:x_edge]->(o) }
+    Rule { R0: s.x > 1 }
+}
+""",
+            PropertyGraph({}, {}),
+        )

@@ -408,3 +408,76 @@ def test_line_dedup_boilerplate(spark):
         2: "other unique text",
         3: "",  # fully boilerplate, row preserved
     }
+
+
+def test_image_metadata_real_png(spark):
+    """Real 8-bit PNG decode via stdlib zlib: round-trips our filter-0
+    writer, and the unfilter path reconstructs Sub/Up/Average/Paeth rows
+    (a reference PNG built by filtering known pixels forward)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from linkgraph.pipeline import multimodal
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(3, 7), dtype=np.uint8)
+    blob_rgb = multimodal.encode_png(rgb)
+    blob_gray = multimodal.encode_png(gray)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob_rgb)), (2, bytearray(blob_gray))],
+        "id bigint, image binary",
+    )
+    got = {r["id"]: r for r in multimodal.image_metadata(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (5, 4, 3)
+    assert abs(got[1]["mean_value"] - float(rgb.mean())) < 1e-9
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (7, 3, 1)
+    assert abs(got[2]["mean_value"] - float(gray.mean())) < 1e-9
+
+    # forward-filter known pixels with each filter type, then decode
+    px = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)  # gray w=6
+    c, stride = 1, 6
+    lines = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for r, ftype in enumerate([1, 2, 3, 4]):
+        cur = px[r].astype(np.int64)
+        filt = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = cur[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if ftype == 1:
+                filt[x] = (cur[x] - a) % 256
+            elif ftype == 2:
+                filt[x] = (cur[x] - b) % 256
+            elif ftype == 3:
+                filt[x] = (cur[x] - (a + b) // 2) % 256
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                filt[x] = (cur[x] - pred) % 256
+        lines.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    scan = b"".join(lines)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 8, 0, 0, 0, 0)
+    blob = (multimodal.PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    meta = multimodal.decode_image_bytes(blob)
+    assert abs(meta["mean_value"] - float(px.mean())) < 1e-9
+
+    # unsupported variant (16-bit) falls through to the stub boundary
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    blob16 = (multimodal.PNG_MAGIC + chunk(b"IHDR", ihdr16)
+              + chunk(b"IDAT", zlib.compress(b"\x00" * 18)) + chunk(b"IEND", b""))
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image_bytes(blob16)

@@ -76,3 +76,99 @@ def test_upsert_lock_times_out(spark, tmp_path):
     os.rmdir(path + ".lock")
     store.upsert("t", df, "k")
     assert store.read("t").count() == 1
+
+
+def test_lock_heartbeat_prevents_stale_steal(spark, tmp_path):
+    """A live holder's lock is refreshed by the heartbeat, so a second
+    writer with a tiny staleness window must WAIT (not steal) — then
+    both writers' rows survive. With the pre-heartbeat behavior the
+    second writer would break the lock mid-merge and the first commit
+    could be lost."""
+    import threading
+    import time as _time
+
+    from linkgraph.tables import TableStore
+
+    # stale window far below the merge duration; heartbeat every ~0.25s
+    store = TableStore(spark, str(tmp_path / "hb"), lock_stale_s=1.0)
+    store.write("t", spark.createDataFrame([(1, "base")], "k bigint, v string"))
+
+    release = threading.Event()
+    orig_upsert = TableStore.upsert
+
+    def slow_writer():
+        lock = store._acquire_lock(store._path("t"))
+        from linkgraph.tables import _LockHeartbeat
+
+        hb = _LockHeartbeat(lock, 0.25)
+        try:
+            release.wait(10)  # hold the lock well past lock_stale_s
+        finally:
+            hb.stop()
+            import os
+
+            os.rmdir(lock)
+
+    t1 = threading.Thread(target=slow_writer)
+    t1.start()
+    _time.sleep(2.5)  # > lock_stale_s: an unheartbeated lock would be stolen
+    stolen = []
+
+    def second_writer():
+        try:
+            store.upsert(
+                "t",
+                spark.createDataFrame([(2, "two")], "k bigint, v string"),
+                "k",
+            )
+        except TimeoutError:
+            stolen.append("timeout")
+
+    t2 = threading.Thread(target=second_writer)
+    t2.start()
+    _time.sleep(1.0)
+    assert t2.is_alive()  # still waiting — the lock was NOT stolen
+    release.set()
+    t1.join(10)
+    t2.join(30)
+    assert not stolen
+    rows = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert rows == {1: "base", 2: "two"}
+    assert orig_upsert is TableStore.upsert
+
+
+def test_upsert_multi_table_concurrent(spark, tmp_path):
+    """Concurrent writers across DIFFERENT tables don't serialize on one
+    lock (per-table fences) and nothing is lost on either table."""
+    import threading
+
+    from linkgraph.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path / "multi"))
+    for name in ("ta", "tb"):
+        store.write(name, spark.createDataFrame([(1, "base")], "k bigint, v string"))
+    errs = []
+
+    def writer(name, tag):
+        try:
+            store.upsert(
+                name,
+                spark.createDataFrame([(tag, f"{name}-{tag}")], "k bigint, v string"),
+                "k",
+            )
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(n, t))
+        for n in ("ta", "tb")
+        for t in (2, 3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    for name in ("ta", "tb"):
+        rows = {r["k"]: r["v"] for r in store.read(name).collect()}
+        assert rows == {1: "base", 2: f"{name}-2", 3: f"{name}-3"}
