@@ -216,6 +216,8 @@ class Statement:
         refs: set[str] = set()
         for f2 in self.filters:
             gql._expr_refs(f2, refs)
+        for ex in self.lets.values():
+            gql._expr_refs(ex, refs)
         for _, _, ex in self.propsets:
             gql._expr_refs(ex, refs)
         for _, (_, _, args) in self.aggs.items():
@@ -310,6 +312,16 @@ class _PatternParser(gql._Parser):
         if prev is None or (prev.label is None and label is not None):
             q.nodes[alias] = gql.NodePat(alias, label)
         return alias
+
+
+def _type_name(expr, what: str) -> str:
+    """Extract a (possibly dotted/namespaced) type name from a parsed
+    kwarg expression: ``type=Influence`` parses as a bare ref,
+    ``type=HengSheng.CompanyInfluence`` (KgReasonerLeadToTest.java:116)
+    as a ref with a prop — both are type names here."""
+    if expr is None or expr[0] != "ref":
+        raise SyntaxError(f"{what} needs a type name")
+    return f"{expr[1]}.{expr[2]}" if expr[2] else expr[1]
 
 
 def _split_lines(toks: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
@@ -534,23 +546,21 @@ class _ScriptParser:
                 rest = line[2:]
             if rest[0] == ("name", "createNodeInstance"):
                 kw = self._parse_kwargs(rest[1:])
-                typ = kw.get("type")
-                if typ is None or typ[0] != "ref" or typ[2] is not None:
-                    raise SyntaxError("createNodeInstance needs type=<Name>")
+                typ = _type_name(kw.get("type"), "createNodeInstance type=")
                 stmt.node_instances.append(
-                    NodeInstance(var, typ[1], kw.get("value", []))
+                    NodeInstance(var, typ, kw.get("value", []))
                 )
                 continue
             if rest[0] == ("name", "createEdgeInstance"):
                 kw = self._parse_kwargs(rest[1:])
-                for k in ("src", "dst", "type"):
+                for k in ("src", "dst"):
                     v = kw.get(k)
                     if v is None or v[0] != "ref" or v[2] is not None:
                         raise SyntaxError(f"createEdgeInstance needs {k}=<alias>")
+                typ = _type_name(kw.get("type"), "createEdgeInstance type=")
                 stmt.edge_instances.append(
                     EdgeInstance(
-                        kw["src"][1], kw["dst"][1], kw["type"][1],
-                        kw.get("value", []),
+                        kw["src"][1], kw["dst"][1], typ, kw.get("value", []),
                     )
                 )
                 continue
@@ -686,11 +696,26 @@ def _toposort(stmts: list[Statement]) -> list[Statement]:
 
 
 def _bind_stmt_params(stmt: Statement, params: dict | None) -> Statement:
+    """Bind $params in EVERY expression position (filters, lets, agg
+    args, propsets, get items, instance values). Operates on the deep
+    copy run_script makes, never the caller's parsed Statements — a
+    parsed script must be reusable with different params."""
     p = params or {}
     stmt.filters = [gql.bind_params(f2, p) for f2 in stmt.filters]
     stmt.lets = {k: gql.bind_params(v, p) for k, v in stmt.lets.items()}
+    stmt.aggs = {
+        k: (aliases, fn, [gql.bind_params(a, p) for a in args])
+        for k, (aliases, fn, args) in stmt.aggs.items()
+    }
+    stmt.propsets = [
+        (alias, prop, gql.bind_params(ex, p)) for alias, prop, ex in stmt.propsets
+    ]
     if stmt.gets:
         stmt.gets = [gql.bind_params(g, p) for g in stmt.gets]
+    for ni in stmt.node_instances:
+        ni.value = [(k, gql.bind_params(ex, p)) for k, ex in ni.value]
+    for ei in stmt.edge_instances:
+        ei.value = [(k, gql.bind_params(ex, p)) for k, ex in ei.value]
     return stmt
 
 
@@ -706,24 +731,38 @@ def _matched(stmt: Statement, graph: gql.PropertyGraph) -> DataFrame:
     return gql._traverse(q, graph)
 
 
-def _run_define(stmt: Statement, graph: gql.PropertyGraph) -> tuple[str, DataFrame]:
+def _run_define(
+    stmt: Statement, graph: gql.PropertyGraph, df: DataFrame
+) -> tuple[str, DataFrame]:
     head = stmt.define
     assert head is not None
     lets = _resolve_lets(stmt)
-    df = _matched(stmt, graph)
     cols = set(df.columns)
     skey = f"{head.subj}__vid"
 
     if head.is_property:
         # AddProperty: one value per subject. Target value comes from the
-        # ``o = ...`` rule line (expression or group() aggregation).
-        if head.obj in stmt.aggs:
-            aliases, fn, args = stmt.aggs[head.obj]
+        # ``o = ...`` rule line — a group() aggregation (directly, or
+        # through a let: `num = group(s).count(d); o = num`, the
+        # KgReasonerLeadToTest addVertexTest1 shape) or an expression.
+        agg_name = head.obj if head.obj in stmt.aggs else None
+        if agg_name is None and head.obj in stmt.lets:
+            tgt = stmt.lets[head.obj]
+            if tgt[0] == "ref" and tgt[2] is None and tgt[1] in stmt.aggs:
+                agg_name = tgt[1]
+        if agg_name is not None:
+            aliases, fn, args = stmt.aggs[agg_name]
+            bad = [a for a in aliases if a != head.subj]
+            if bad:
+                raise ValueError(
+                    f"Define {head.pred}: AddProperty must group by the "
+                    f"subject alias {head.subj!r} only, got group"
+                    f"({', '.join(aliases)}) — extra keys would produce "
+                    "several values per vertex (use an entity object type "
+                    "for per-pair results)"
+                )
             args = [_inline_lets(a, lets) for a in args]
-            keys = [f"{a}__vid" for a in aliases]
-            if skey not in keys:
-                keys = [skey] + keys
-            out = df.groupBy(*keys).agg(
+            out = df.groupBy(skey).agg(
                 _agg_column(fn, args, cols).alias(head.pred)
             )
             return head.pred, out.select(F.col(skey).alias("vid"), head.pred)
@@ -794,13 +833,13 @@ def _run_define(stmt: Statement, graph: gql.PropertyGraph) -> tuple[str, DataFra
 
 def _run_action_ddl(
     stmt: Statement, df: DataFrame, graph: gql.PropertyGraph
-) -> dict[str, DataFrame]:
+) -> dict[str, tuple[str, DataFrame]]:
     """createNodeInstance / createEdgeInstance over the matched rows
     (AddVertex / AddPredicate, ResultBlock.scala:97-112). New vertices
     get ``vid = xxhash64(id)`` — the reference's hash64 biz-id scheme
     (IVertexId, common/graph/vertex/impl/VertexId.java:30-32)."""
     cols = set(df.columns)
-    ddl: dict[str, DataFrame] = {}
+    ddl: dict[str, tuple[str, DataFrame]] = {}  # type -> ("vertex"|"edge", df)
     var_vid: dict[str, Column] = {}
     for ni in stmt.node_instances:
         exprs = [gql._compile_expr(ex, cols).alias(p) for p, ex in ni.value]
@@ -814,7 +853,7 @@ def _run_action_ddl(
             )
         vid = F.xxhash64(id_expr.cast("string"))
         nd = df.select(vid.alias("vid"), *exprs).dropDuplicates(["vid"])
-        ddl[ni.type] = nd
+        ddl[ni.type] = ("vertex", nd)
         graph.vertices[ni.type] = (
             graph.vertices[ni.type].unionByName(nd, allowMissingColumns=True)
             if ni.type in graph.vertices
@@ -838,7 +877,7 @@ def _run_action_ddl(
         ed = df.select(
             endpoint(ei.src).alias("src"), endpoint(ei.dst).alias("dst"), *exprs
         ).dropDuplicates(["src", "dst"])
-        ddl[ei.type] = ed
+        ddl[ei.type] = ("edge", ed)
         graph.edges[ei.type] = (
             graph.edges[ei.type].unionByName(ed, allowMissingColumns=True)
             if ei.type in graph.edges
@@ -859,46 +898,63 @@ def run_script(
     table; create*Instance DDL applies to the graph and, when a
     ``linkgraph.tables.TableStore`` is passed, upserts each delta
     (vertices keyed on vid; edges on an xxhash64(src,dst) edge_key)."""
+    import copy
+
     stmts = parse_script(text) if isinstance(text, str) else text
+    # deep copy before binding: the ASTs hold only tuples/dataclasses (no
+    # DataFrames), and a parsed script must stay reusable with other params
+    stmts = [copy.deepcopy(s) for s in stmts]
     stmts = _toposort([_bind_stmt_params(s, params) for s in stmts])
     g = gql.PropertyGraph(dict(graph.vertices), dict(graph.edges))
     table: DataFrame | None = None
     ddl: dict[str, DataFrame] = {}
 
+    def persist_ddl(new: dict[str, tuple[str, DataFrame]]) -> None:
+        for typ, (kind, frame) in new.items():
+            ddl[typ] = frame
+            if store is None:
+                continue
+            if kind == "edge":
+                keyed = frame.withColumn(
+                    "edge_key",
+                    F.xxhash64(
+                        F.col("src").cast("string"), F.col("dst").cast("string")
+                    ),
+                )
+                store.upsert(f"edges_{typ}", keyed, "edge_key")
+            else:
+                store.upsert(f"vertices_{typ}", frame, "vid")
+
     for stmt in stmts:
+        if stmt.define is None and (stmt.aggs or stmt.propsets):
+            # an unnamed `x.y == v` line normalizes to `x.y = v` and would
+            # otherwise be silently dropped as a propset — refuse loudly
+            raise ValueError(
+                "property assignments / group() aggregations are only "
+                "meaningful inside a Define block; for a filter write a "
+                "named rule, e.g. `R0: t.amount == 100`"
+            )
+        df = _matched(stmt, g)
         if stmt.define is not None:
-            name, out = _run_define(stmt, g)
+            name, out = _run_define(stmt, g, df)
             head = stmt.define
             if head.is_property:
                 if head.subj_label not in g.vertices:
                     raise ValueError(
                         f"Define {name}: unknown vertex label {head.subj_label!r}"
                     )
-                g.vertices[head.subj_label] = g.vertices[head.subj_label].join(
-                    out, "vid", "left"
-                )
+                base = g.vertices[head.subj_label]
+                if name in base.columns:  # re-Define = overwrite
+                    base = base.drop(name)
+                g.vertices[head.subj_label] = base.join(out, "vid", "left")
                 ddl[name] = out
             else:
                 g.edges[name] = out
                 ddl[name] = out
-            continue
-        df = _matched(stmt, g)
         if stmt.node_instances or stmt.edge_instances:
-            new = _run_action_ddl(stmt, df, g)
-            ddl.update(new)
-            if store is not None:
-                for typ, frame in new.items():
-                    if "src" in frame.columns:
-                        keyed = frame.withColumn(
-                            "edge_key",
-                            F.xxhash64(
-                                F.col("src").cast("string"),
-                                F.col("dst").cast("string"),
-                            ),
-                        )
-                        store.upsert(f"edges_{typ}", keyed, "edge_key")
-                    else:
-                        store.upsert(f"vertices_{typ}", frame, "vid")
+            # Action DDL applies in Define blocks too
+            # (KgReasonerLeadToTest addVertexTest1 shape)
+            persist_ddl(_run_action_ddl(stmt, df, g))
         if stmt.gets:
             lets = _resolve_lets(stmt)
             cols = set(df.columns)

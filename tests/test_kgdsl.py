@@ -328,3 +328,192 @@ Define (s:A)-[p:y]->(o:A) {
 """,
             PropertyGraph({}, {}),
         )
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_define_with_action_ddl_inside(fund_graph):
+    """Action { createNodeInstance } INSIDE a Define block executes
+    (KgReasonerLeadToTest addVertexTest1 shape): both the derived
+    property and the created vertices must appear."""
+    res = run_script(
+        """
+Define (s:Account)-[p:outn]->(o:Int) {
+    GraphStructure { (s)-[t:transfer]->(u:Account) }
+    Rule {
+        num = group(s).count(u.vid)
+        o = num
+    }
+    Action {
+        createNodeInstance(
+            type=OutCount,
+            value={
+                id = s.id
+            }
+        )
+    }
+}
+GraphStructure { (s:Account) }
+Rule { R0: s.outn >= 2 }
+Action { get(s.id, s.outn) }
+""",
+        fund_graph,
+    )
+    # the let-to-agg indirection (o = num) resolves to the aggregation
+    assert {(r["s_id"], r["s_outn"]) for r in res.table.collect()} == {
+        ("acc1", 2), ("acc2", 2)
+    }
+    # and the Action DDL inside the Define really ran
+    assert "OutCount" in res.graph.vertices
+    assert res.graph.vertices["OutCount"].count() == 3  # acc1, acc2, acc3
+
+
+def test_params_bind_in_agg_args_and_ddl_values(fund_graph):
+    res = run_script(
+        """
+Define (s:Account)-[p:tot]->(o:Double) {
+    GraphStructure { (s)-[t:transfer]->(u:Account) }
+    Rule { o = group(s).sum(t.amount * $fx) }
+}
+GraphStructure { (s:Account) }
+Rule { R0: s.tot >= $cut }
+Action { get(s.id, s.tot) }
+""",
+        fund_graph,
+        params={"fx": 2, "cut": 200},
+    )
+    got = {(r["s_id"], r["s_tot"]) for r in res.table.collect()}
+    assert got == {("acc1", 300.0)}  # (100+50)*2
+
+
+def test_parsed_script_reusable_with_different_params(fund_graph):
+    stmts = parse_script(
+        "GraphStructure { (a:Account)-[t:transfer]->(b:Account) }\n"
+        "Rule { R0: t.amount >= $minamt }\nAction { get(a.id, b.id) }"
+    )
+    first = run_script(stmts, fund_graph, params={"minamt": 100})
+    second = run_script(stmts, fund_graph, params={"minamt": 10})
+    assert first.table.count() == 1
+    assert second.table.count() == 5  # caller's AST not clobbered by run 1
+
+
+def test_toposort_sees_let_only_dependency(fund_graph):
+    res = run_script(
+        """
+GraphStructure { (s:Account) }
+Rule {
+    f = s.flag2
+    R0: f == true
+}
+Action { get(s.id) }
+
+Define (s:Account)-[p:flag2]->(o:Boolean) {
+    GraphStructure { (s) }
+    Rule { o = s.vid >= 3 }
+}
+""",
+        fund_graph,
+    )
+    assert {r["s_id"] for r in res.table.collect()} == {"acc3", "acc4"}
+
+
+def test_unnamed_filter_line_rejected_loudly(fund_graph):
+    # `t.amount == 100` normalizes to `t.amount = 100` (an assignment):
+    # silently dropping it would un-filter the query — must raise
+    with pytest.raises(ValueError, match="named rule"):
+        run_script(
+            "GraphStructure { (a:Account)-[t:transfer]->(b:Account) }\n"
+            "Rule { t.amount == 100 }\nAction { get(a.id) }",
+            fund_graph,
+        )
+
+
+def test_dotted_type_names_in_ddl(fund_graph):
+    res = run_script(
+        """
+GraphStructure { (a:Account)-[t:transfer]->(b:Account) }
+Rule { R0: t.amount >= 100 }
+Action {
+    ev = createNodeInstance(
+        type=HengSheng.CompanyInfluence,
+        value={ id = a.id }
+    )
+    createEdgeInstance(src=a, dst=ev, type=Risk.leadTo, value={ })
+}
+""",
+        fund_graph,
+    )
+    assert "HengSheng.CompanyInfluence" in res.graph.vertices
+    assert "Risk.leadTo" in res.graph.edges
+
+
+def test_addproperty_group_beyond_subject_rejected(fund_graph):
+    with pytest.raises(ValueError, match="subject alias"):
+        run_script(
+            """
+Define (s:Account)-[p:n]->(o:Int) {
+    GraphStructure { (s)-[t:transfer]->(u:Account) }
+    Rule { o = group(s,u).count(t.transDate) }
+}
+GraphStructure { (s:Account) }
+Rule { }
+Action { get(s.id) }
+""",
+            fund_graph,
+        )
+
+
+def test_redefine_overwrites_property(fund_graph):
+    res = run_script(
+        """
+Define (s:Account)-[p:mark]->(o:Int) {
+    GraphStructure { (s) }
+    Rule { o = 1 }
+}
+Define (s:Account)-[p:mark2]->(o:Int) {
+    GraphStructure { (s) }
+    Rule { o = s.mark + 1 }
+}
+GraphStructure { (s:Account) }
+Rule { }
+Action { get(s.id, s.mark2) }
+""",
+        fund_graph,
+    )
+    assert {r["s_mark2"] for r in res.table.collect()} == {2}
+    # re-running over the augmented graph re-Defines 'mark' w/o dup column
+    res2 = run_script(
+        "Define (s:Account)-[p:mark]->(o:Int) { GraphStructure { (s) } "
+        "Rule { o = 7 } }\n"
+        "GraphStructure { (s:Account) }\nRule { }\nAction { get(s.id, s.mark) }",
+        res.graph,
+    )
+    assert {r["s_mark"] for r in res2.table.collect()} == {7}
+
+
+def test_node_instance_with_src_prop_routes_to_vertices(fund_graph, spark, tmp_path):
+    from linkgraph.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path / "srcstore"))
+    run_script(
+        """
+GraphStructure { (a:Account)-[t:transfer]->(b:Account) }
+Rule { R0: t.amount >= 100 }
+Action {
+    createNodeInstance(
+        type=Hop,
+        value={
+            id = a.id
+            src = a.id
+        }
+    )
+}
+""",
+        fund_graph,
+        store=store,
+    )
+    # routed by provenance (vertex), not by sniffing a 'src' column
+    assert store.read("vertices_Hop").count() == 1
