@@ -670,6 +670,46 @@ Action {
     return res.graph.edges["closeTo"].select("src", "dst", "w")
 
 
+def _k4_kgdsl_finbench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinBench trc1 through the arrow-DSL GraphStructure form
+    (KGDSL.g4:118; FinBenchTest.java:86-105): node decls with
+    __start__, `a -> b [E] repeat(2,2) as e1`, and the
+    edges().constraint((pre, cur) => ...) pairwise lambda."""
+    from linkgraph.gql import PropertyGraph
+    from linkgraph.kgdsl import run_script
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 211).alias("src"),
+            (F.col("l_partkey") % 211).alias("dst"),
+            F.col("l_shipdate").alias("ts"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("ts").alias("ts"))
+    )
+    v = e.select(F.col("src").alias("vid")).union(e.select("dst")).distinct()
+    g = PropertyGraph({"V": v}, {"E": e})
+    res = run_script(
+        """
+GraphStructure {
+    a [V, __start__='true']
+    a -> b [E] repeat(2,2) as e1
+}
+Rule {
+    R1("seed"): a.vid == $seed
+    R0: e1.edges().constraint((pre, cur) => pre.ts < cur.ts)
+    n = repeat_edge_length(e1)
+}
+Action { get(a.vid, b.vid, n) }
+""",
+        g,
+        params={"seed": 7},
+    )
+    return res.table
+
+
 def _c1_concept_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConceptEdgeExpand parity: parts tagged with a brand concept
     generalize up the Brand#NN -> Brand#N -> Brand taxonomy."""
@@ -884,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_kgdsl_filter": _k1_kgdsl_filter,
         "k2_kgdsl_define": _k2_kgdsl_define,
         "k3_kgdsl_ddl": _k3_kgdsl_ddl,
+        "k4_kgdsl_finbench": _k4_kgdsl_finbench,
         "t1_thinker_reach": _t1_thinker_reach,
         "c1_concept_expand": _c1_concept_expand,
         "d_exact_dedup": _d_exact_dedup,
@@ -1655,6 +1696,15 @@ SELECT vid AS s_vid, outdeg AS s_outdeg FROM deg WHERE outdeg >= 5""",
         "k3_kgdsl_ddl": f"""
 WITH edges AS ({EDGES_SQL})
 SELECT src, dst, src + dst AS w FROM edges WHERE src < 50""",
+        "k4_kgdsl_finbench": """
+WITH e AS (
+  SELECT l_orderkey % 211 AS src, l_partkey % 211 AS dst, MIN(l_shipdate) AS ts
+  FROM lineitem WHERE l_orderkey % 211 <> l_partkey % 211
+  GROUP BY 1, 2
+)
+SELECT e1.src AS a_vid, e2.dst AS b_vid, CAST(2 AS INTEGER) AS n
+FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.ts < e2.ts
+WHERE e1.src = 7""",
         "t1_thinker_reach": """
 WITH RECURSIVE e AS (
   SELECT DISTINCT l_orderkey % 211 AS src, l_partkey % 211 AS dst

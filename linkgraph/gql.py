@@ -474,6 +474,8 @@ def bind_params(e, params: dict):
         return ("not", bind_params(e[1], params))
     if e[0] == "func":
         return ("func", e[1], [bind_params(a, params) for a in e[2]])
+    if e[0] == "lambda":  # bind inside the body; params of the lambda stay
+        return ("lambda", e[1], bind_params(e[2], params))
     return e
 
 
@@ -497,6 +499,8 @@ def _collect_params(e, out: set[str]) -> set[str]:
     elif e[0] == "func":
         for a in e[2]:
             _collect_params(a, out)
+    elif e[0] == "lambda":
+        _collect_params(e[2], out)
     return out
 
 
@@ -572,12 +576,77 @@ def _compile_expr(e, cols: set[str]) -> Column:
         # literal args pass through as raw Python values: registry
         # callables take option-like params (substring positions,
         # accumulate's '+'/'*' op) as plain values, and Spark auto-lifts
-        # literals used as Columns
+        # literals used as Columns. Lambda args (("lambda", params, body)
+        # — the KGDSL (pre, cur) => expr form) compile to Python
+        # callables for higher-order functions (repeat_constraint/
+        # repeat_reduce -> zip_with/aggregate).
         compiled = [
-            a[1] if a[0] == "lit" else _compile_expr(a, cols) for a in args
+            a[1]
+            if a[0] == "lit"
+            else _make_lambda(a, cols)
+            if a[0] == "lambda"
+            else _compile_expr(a, cols)
+            for a in args
         ]
         return fn(*compiled)
     raise ValueError(f"cannot compile {e}")
+
+
+def _make_lambda(e, outer_cols: set[str]):
+    """("lambda", [p1, p2], body) -> a Python callable over Columns.
+    Inside the body, ``p1.field`` resolves to a struct field of the
+    callable's first argument (the zip_with/aggregate element); other
+    refs resolve against the outer binding table as usual."""
+    _, params, body = e
+
+    def fn(args: tuple) -> Column:
+        if len(args) != len(params):
+            raise ValueError(
+                f"lambda arity mismatch: declared {len(params)} params, "
+                f"higher-order function supplies {len(args)}"
+            )
+        bind = dict(zip(params, args))
+
+        def compile_body(b):
+            if b[0] == "ref" and b[1] in bind:
+                return bind[b[1]][b[2]] if b[2] else bind[b[1]]
+            if b[0] == "bin":
+                if b[1] in ("=", "<>") and ("lit", None) in (b[2], b[3]):
+                    other = b[3] if b[2] == ("lit", None) else b[2]
+                    c = compile_body(other)
+                    return c.isNull() if b[1] == "=" else c.isNotNull()
+                if b[1] == "like":
+                    return compile_body(b[2]).like(b[3][1])
+                if b[1] == "rlike":
+                    return compile_body(b[2]).rlike(b[3][1])
+                return _BIN_OPS[b[1]](compile_body(b[2]), compile_body(b[3]))
+            if b[0] == "not":
+                return ~compile_body(b[1])
+            if b[0] == "in" and isinstance(b[2], list):
+                return compile_body(b[1]).isin([a[1] for a in b[2]])
+            if b[0] == "func":
+                from linkgraph.functions import SCALARS
+
+                f2 = SCALARS.get(b[1])
+                if f2 is None:
+                    raise ValueError(f"unknown function {b[1]} in lambda body")
+                return f2(*[
+                    a[1] if a[0] == "lit" else compile_body(a) for a in b[2]
+                ])
+            return _compile_expr(b, outer_cols)  # lit / outer ref / nested
+
+        return compile_body(body)
+
+    # Spark's higher-order builtins (zip_with/aggregate/...) inspect the
+    # callable's signature and reject *args — expose exact positional arity
+    n = len(params)
+    if n == 1:
+        return lambda a: fn((a,))
+    if n == 2:
+        return lambda a, b: fn((a, b))
+    if n == 3:
+        return lambda a, b, c: fn((a, b, c))
+    raise ValueError(f"lambdas support 1-3 parameters, got {n}")
 
 
 def _conjuncts(e) -> list:
@@ -602,6 +671,12 @@ def _expr_refs(e, out: set[str]) -> set[str]:
         if isinstance(e[2], list):
             for a in e[2]:
                 _expr_refs(a, out)
+    elif e[0] == "lambda":
+        # body refs matter for conjunct placement, EXCEPT the lambda's
+        # own params (they bind to array elements, not table columns)
+        inner = _expr_refs(e[2], set())
+        params = set(e[1])
+        out |= {r for r in inner if r.split("__", 1)[0] not in params}
     return out
 
 

@@ -79,7 +79,7 @@ _TOKEN_RE = re.compile(
     | (?P<bq>`[^`]*`)
     | (?P<param>\$[^\W\d]\w*)
     | (?P<name>[^\W\d]\w*(?:\.[^\W\d]\w*)*)
-    | (?P<op><-|->|==|!=|<=|>=|&&|\|\||\.\.|[{}()\[\],:\-.*<>=+/%|!])
+    | (?P<op><->|=>|<-|->|==|!=|<=|>=|&&|\|\||\.\.|[{}()\[\],:\-.*<>=+/%|!])
     )""",
     re.X,
 )
@@ -181,6 +181,7 @@ class EdgeInstance:
 @dataclass
 class Statement:
     define: DefineHead | None = None
+    root: str | None = None  # __start__='true' alias (START_ALIAS analog)
     query: gql.Query = field(default_factory=gql.Query)
     filters: list = field(default_factory=list)  # expr ASTs (conjuncts)
     lets: dict = field(default_factory=dict)  # name -> expr AST (inlined)
@@ -269,8 +270,73 @@ class _ExprParser(gql._Parser):
             if "." in t[1]:
                 self.next()
                 alias, _, prop = t[1].partition(".")
-                return ("ref", alias, prop)
-        return super()._primary()
+                if self.peek() == ("op", "("):
+                    # alias.method(...) — KGDSL 2.0 path methods:
+                    # edge1.edges() yields the accumulated PathEdge array
+                    # (PathEdge.java:31-42); chained .constraint/.reduce
+                    # desugar onto the repeat_* registry functions
+                    return self._postfix(self._method(("ref", alias, None), prop))
+                return self._postfix(("ref", alias, prop))
+        e = super()._primary()
+        return self._postfix(e)
+
+    def _postfix(self, obj):
+        while (
+            self.peek() == ("op", ".")
+            and self.toks[self.i + 1][0] == "name"
+            and self.toks[self.i + 2] == ("op", "(")
+        ):
+            self.next()  # .
+            name = self.next()[1]
+            obj = self._method(obj, name)
+        return obj
+
+    def _method(self, obj, name: str):
+        self.expect("op", "(")
+        args = []
+        if self.peek() != ("op", ")"):
+            args.append(self._lambda_or_expr())
+            while self.accept("op", ","):
+                args.append(self._lambda_or_expr())
+        self.expect("op", ")")
+        low = name.lower()
+        if low == "edges":
+            if args or obj[0] != "ref" or obj[2] is not None:
+                raise SyntaxError("edges() takes no args and applies to an alias")
+            return ("ref", obj[1], "path")
+        if low == "constraint":
+            if len(args) != 1 or args[0][0] != "lambda":
+                raise SyntaxError("constraint() takes one (pre, cur) => expr lambda")
+            return ("func", "repeat_constraint", [obj, args[0]])
+        if low == "reduce":
+            if len(args) != 2 or args[1][0] != "lambda":
+                raise SyntaxError("reduce() takes (init, (acc, cur) => expr)")
+            return ("func", "repeat_reduce", [obj, args[0], args[1]])
+        if low == "length":
+            if args:
+                raise SyntaxError("length() takes no args")
+            return ("func", "repeat_edge_length", [obj])
+        raise SyntaxError(f"unknown path method .{name}()")
+
+    def _lambda_or_expr(self):
+        """Lookahead for ``(p1, p2) => body`` lambdas inside call args."""
+        if self.peek() == ("op", "("):
+            j = self.i + 1
+            params = []
+            while self.toks[j][0] == "name" and self.toks[j + 1] in (
+                ("op", ","), ("op", ")"),
+            ):
+                params.append(self.toks[j][1])
+                if self.toks[j + 1] == ("op", ")"):
+                    j += 2
+                    break
+                j += 2
+            else:
+                return self._expr()
+            if params and self.toks[j] == ("op", "=>"):
+                self.i = j + 1
+                return ("lambda", params, self._expr())
+        return self._expr()
 
 
 def _parse_expr(toks: list[tuple[str, str]]) -> tuple:
@@ -436,19 +502,95 @@ class _ScriptParser:
         if self._peek() == ("name", "Action"):
             self._next()
             self._parse_action(stmt, self._block())
+        _fix_varlen_refs(stmt)
         return stmt
 
     def _parse_graph_structure(self, stmt: Statement, toks) -> None:
         for line in _split_lines(toks):
-            # comma-chained patterns may share a line; _pattern_chain
-            # consumes one chain, commas continue it (gql behavior)
-            p = _PatternParser(list(line) + [("eof", "")])
-            p._pattern_chain(stmt.query)
-            while p.accept("op", ","):
+            if line[0] == ("op", "("):
+                # GQL-path chain form: (a:T)-[e:r]->(b)
+                # comma-chained patterns may share a line; _pattern_chain
+                # consumes one chain, commas continue it (gql behavior)
+                p = _PatternParser(list(line) + [("eof", "")])
                 p._pattern_chain(stmt.query)
+                while p.accept("op", ","):
+                    p._pattern_chain(stmt.query)
+                if p.peek()[0] != "eof":
+                    raise SyntaxError(f"trailing tokens in pattern: {p.peek()}")
+                stmt.filters.extend(p.concept_filters)
+            else:
+                # arrow-DSL form (KGDSL.g4:118 one_edge_pattern; FinBench
+                # trc1, FinBenchTest.java:86-92):
+                #   alias [Label, prop='v', __start__='true']
+                #   a -> b [type1, type2] repeat(1,3) as e   (also <->)
+                self._parse_arrow_line(stmt, line)
+
+    def _parse_arrow_line(self, stmt: Statement, line) -> None:
+        p = _ExprParser(list(line) + [("eof", "")])
+        left = p.expect("name")[1]
+        if "." in left:
+            raise SyntaxError(f"bad pattern alias {left!r}")
+        t = p.peek()
+        if t == ("op", "[") or t[0] == "eof":
+            # node declaration with optional label + property constraints
+            label = None
+            if p.accept("op", "["):
+                label = p.expect("name")[1]
+                while p.accept("op", ","):
+                    key = p.expect("name")[1]
+                    p.expect("op", "=")
+                    val = p._primary()
+                    if val[0] != "lit":
+                        raise SyntaxError(
+                            f"node property constraint {key} needs a literal"
+                        )
+                    if key == "__start__":
+                        if str(val[1]).lower() == "true":
+                            stmt.root = left  # START_ALIAS analog
+                    else:
+                        stmt.filters.append(
+                            ("bin", "=", ("ref", left, key), val)
+                        )
+                p.expect("op", "]")
+            prev = stmt.query.nodes.get(left)
+            if prev is None or (prev.label is None and label is not None):
+                stmt.query.nodes[left] = gql.NodePat(left, label)
             if p.peek()[0] != "eof":
-                raise SyntaxError(f"trailing tokens in pattern: {p.peek()}")
-            stmt.filters.extend(p.concept_filters)
+                raise SyntaxError(f"trailing tokens in node line: {p.peek()}")
+            return
+        # edge line: a -> b / a <-> b (undirected) / a <- b (reversed)
+        arrow = p.next()
+        if arrow not in (("op", "->"), ("op", "<->"), ("op", "<-")):
+            raise SyntaxError(f"expected -> / <-> / <- after {left!r}, got {arrow}")
+        right = p.expect("name")[1]
+        rel = None
+        if p.accept("op", "["):
+            rels = [p.expect("name")[1]]
+            while p.accept("op", ","):
+                rels.append(p.expect("name")[1])
+            p.expect("op", "]")
+            rel = rels[0] if len(rels) == 1 else tuple(rels)
+        lower = upper = None
+        if p.peek() == ("name", "repeat"):
+            p.next()
+            p.expect("op", "(")
+            lower = int(p.expect("num")[1])
+            p.expect("op", ",")
+            upper = int(p.expect("num")[1])
+            p.expect("op", ")")
+        alias = None
+        if p.peek() == ("name", "as"):
+            p.next()
+            alias = p.expect("name")[1]
+        if p.peek()[0] != "eof":
+            raise SyntaxError(f"trailing tokens in edge line: {p.peek()}")
+        undirected = arrow == ("op", "<->")
+        src, dst = (right, left) if arrow == ("op", "<-") else (left, right)
+        for a in (src, dst):
+            stmt.query.nodes.setdefault(a, gql.NodePat(a, None))
+        stmt.query.edges.append(
+            gql.EdgePat(src, dst, alias, rel, lower, upper, undirected)
+        )
 
     def _parse_rule(self, stmt: Statement, toks) -> None:
         for line in _split_lines(toks):
@@ -593,6 +735,45 @@ class _ScriptParser:
         return out
 
 
+def _fix_varlen_refs(stmt: Statement) -> None:
+    """A bare reference to a var-len edge alias (``repeat_edge_length(
+    edge1)``) means its accumulated path array — rewrite to the
+    ``edge1.path`` binding column. Bare edge aliases have no other valid
+    meaning (edges carry no vid)."""
+    vl = {e.alias for e in stmt.query.edges if e.is_varlen and e.alias}
+    if not vl:
+        return
+
+    def fix(e):
+        if not isinstance(e, tuple):
+            return e
+        if e[0] == "ref" and e[2] is None and e[1] in vl:
+            return ("ref", e[1], "path")
+        if e[0] == "bin":
+            return ("bin", e[1], fix(e[2]), fix(e[3]))
+        if e[0] == "not":
+            return ("not", fix(e[1]))
+        if e[0] == "func":
+            return ("func", e[1], [fix(a) for a in e[2]])
+        if e[0] == "lambda":
+            return ("lambda", e[1], fix(e[2]))
+        if e[0] == "in" and isinstance(e[2], list):
+            return ("in", fix(e[1]), [fix(a) for a in e[2]])
+        if e[0] == "in":
+            return ("in", fix(e[1]), e[2])
+        return e
+
+    stmt.filters = [fix(f2) for f2 in stmt.filters]
+    stmt.lets = {k: fix(v) for k, v in stmt.lets.items()}
+    stmt.aggs = {
+        k: (al, fn, [fix(a) for a in args])
+        for k, (al, fn, args) in stmt.aggs.items()
+    }
+    stmt.propsets = [(a, pr, fix(ex)) for a, pr, ex in stmt.propsets]
+    if stmt.gets:
+        stmt.gets = [fix(g) for g in stmt.gets]
+
+
 def parse_script(text: str) -> list[Statement]:
     """Parse a KGDSL script (one or more Define / GraphStructure
     statements) into Statement ASTs — the parser-golden surface
@@ -618,6 +799,9 @@ def _inline_lets(e, lets: dict):
         return ("not", _inline_lets(e[1], lets))
     if e[0] == "func":
         return ("func", e[1], [_inline_lets(a, lets) for a in e[2]])
+    if e[0] == "lambda":  # lambda params shadow same-named lets
+        inner = {k: v for k, v in lets.items() if k not in e[1]}
+        return ("lambda", e[1], _inline_lets(e[2], inner))
     if e[0] == "in" and isinstance(e[2], list):
         return ("in", _inline_lets(e[1], lets), [_inline_lets(a, lets) for a in e[2]])
     if e[0] == "in":
@@ -728,7 +912,7 @@ def _matched(stmt: Statement, graph: gql.PropertyGraph) -> DataFrame:
     conj = [_inline_lets(f2, lets) for f2 in stmt.filters]
     for c in conj:
         q.where = c if q.where is None else ("bin", "and", q.where, c)
-    return gql._traverse(q, graph)
+    return gql._traverse(q, graph, root=stmt.root)
 
 
 def _run_define(
@@ -960,11 +1144,15 @@ def run_script(
             cols = set(df.columns)
             sel = []
             for ex in stmt.gets:
-                ex = _inline_lets(ex, lets)
-                if ex[0] == "ref":
+                # name BEFORE inlining so get(x) of a let `x = ...` keeps
+                # the let's name as the output column
+                if ex[0] == "ref" and ex[2] is None and ex[1] in lets:
+                    nm = ex[1]
+                elif ex[0] == "ref":
                     nm = f"{ex[1]}_{ex[2]}" if ex[2] else ex[1]
                 else:
                     nm = f"col{len(sel)}"
+                ex = _inline_lets(ex, lets)
                 sel.append(gql._compile_expr(ex, cols).alias(nm))
             table = df.select(*sel)
     return KgdslResult(table=table, graph=g, ddl=ddl)

@@ -517,3 +517,138 @@ Action {
     )
     # routed by provenance (vertex), not by sniffing a 'src' column
     assert store.read("vertices_Hop").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# arrow-DSL GraphStructure form (FinBench shape, KGDSL.g4:118)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_arrow_form_golden():
+    stmts = parse_script(
+        """
+GraphStructure {
+    account [Account, __start__='true', region='cn']
+    other [Account]
+    medium [Medium]
+    account -> other [transfer] repeat(1,3) as edge1
+    other -> medium [signIn, signUp] as edge2
+    other <-> medium [knows]
+}
+Rule { }
+Action { get(other.id) }
+"""
+    )
+    s = stmts[0]
+    assert s.root == "account"
+    assert s.query.nodes["account"].label == "Account"
+    assert s.query.nodes["medium"].label == "Medium"
+    # region='cn' became a filter; __start__ did NOT
+    assert ("bin", "=", ("ref", "account", "region"), ("lit", "cn")) in s.filters
+    e1, e2, e3 = s.query.edges
+    assert (e1.src, e1.dst, e1.alias, e1.rel, e1.lower, e1.upper) == (
+        "account", "other", "edge1", "transfer", 1, 3
+    )
+    assert e2.rel == ("signIn", "signUp") and e2.alias == "edge2"
+    assert e3.undirected and e3.rel == "knows"
+
+
+def test_parse_path_methods_and_lambda():
+    stmts = parse_script(
+        """
+GraphStructure {
+    a [T, __start__='true']
+    a -> b [r] repeat(1,2) as e1
+}
+Rule {
+    R0: e1.edges().constraint((pre, cur) => pre.ts <= cur.ts && cur.ts >= $t0)
+    n = repeat_edge_length(e1)
+}
+Action { get(b.id, n) }
+"""
+    )
+    s = stmts[0]
+    (f0,) = s.filters
+    assert f0[0] == "func" and f0[1] == "repeat_constraint"
+    assert f0[2][0] == ("ref", "e1", "path")
+    lam = f0[2][1]
+    assert lam[0] == "lambda" and lam[1] == ["pre", "cur"]
+    # bare var-len alias in repeat_edge_length rewrote to the path column
+    assert s.lets["n"] == ("func", "repeat_edge_length", [("ref", "e1", "path")])
+
+
+def test_finbench_trc1_shape_executes(spark):
+    """The trc1 query shape (FinBenchTest.java:84-105): seeded var-len
+    transfer chain with a pairwise timestamp constraint, joined to a
+    blocked signIn medium."""
+    accounts = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (3, "a3"), (4, "a4")], "vid bigint, id string"
+    )
+    mediums = spark.createDataFrame(
+        [(101, "m1", True), (102, "m2", False)],
+        "vid bigint, id string, isBlocked boolean",
+    )
+    transfers = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 20), (3, 4, 15), (1, 3, 5)],
+        "src bigint, dst bigint, ts int",
+    )
+    signin = spark.createDataFrame(
+        [(2, 101), (3, 101), (4, 102)], "src bigint, dst bigint"
+    )
+    g = PropertyGraph(
+        {"Account": accounts, "Medium": mediums},
+        {"transfer": transfers, "signIn": signin},
+    )
+    res = run_script(
+        """
+GraphStructure {
+    account [Account, __start__='true']
+    other [Account]
+    medium [Medium]
+    account -> other [transfer] repeat(1,3) as edge1
+    other -> medium [signIn] as edge2
+}
+Rule {
+    R1("seed"): account.id == $a
+    R2("monotone"): edge1.edges().constraint((pre, cur) => pre.ts <= cur.ts)
+    R3("blocked"): medium.isBlocked == true
+    repeat_len = repeat_edge_length(edge1)
+}
+Action {
+    get(other.id, repeat_len, medium.id)
+}
+""",
+        g,
+        params={"a": "a1"},
+    )
+    got = {
+        (r["other_id"], r["repeat_len"], r["medium_id"])
+        for r in res.table.collect()
+    }
+    # 1->2 [10], 1->3 [5], 1->2->3 [10,20], 1->3->4 [5,15] are monotone;
+    # 1->2->3->4 [10,20,15] is not; medium must be blocked (m1)
+    assert got == {("a2", 1, "m1"), ("a3", 1, "m1"), ("a3", 2, "m1")}
+
+
+def test_lambda_binds_params_inside_body(spark):
+    accounts = spark.createDataFrame([(1, "a1"), (2, "a2"), (3, "a3")],
+                                     "vid bigint, id string")
+    transfers = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 20)], "src bigint, dst bigint, ts int"
+    )
+    g = PropertyGraph({"Account": accounts}, {"transfer": transfers})
+    script = """
+GraphStructure {
+    a [Account, __start__='true']
+    a -> b [transfer] repeat(1,2) as e1
+}
+Rule {
+    R0: a.id == 'a1'
+    R1: e1.edges().constraint((pre, cur) => cur.ts <= $cap)
+}
+Action { get(b.id, repeat_edge_length(e1)) }
+"""
+    hi = run_script(script, g, params={"cap": 25})
+    lo = run_script(script, g, params={"cap": 15})
+    assert {r["b_id"] for r in hi.table.collect()} == {"a2", "a3"}
+    assert {r["b_id"] for r in lo.table.collect()} == {"a2"}
