@@ -768,6 +768,32 @@ def _traverse(q: Query, graph: PropertyGraph, root: str | None = None) -> DataFr
     root = root or _choose_root(q)
     remaining = _conjuncts(q.where) if q.where is not None else []
 
+    # Pairwise path constraints (repeat_constraint(e.path, (pre, cur) =>
+    # ...) — the KGDSL edges().constraint form) push INTO the var-len
+    # expansion loop: per-hop pruning is O(surviving paths) instead of
+    # enumerate-all-then-filter O(fanout^hops) — the reference's
+    # constraint-during-expansion (PatternMatcher rules) and the only
+    # shape that survives a hub-heavy web graph. Only lambdas with no
+    # outer column references are pushable (outer columns bind after).
+    varlen_aliases = {e.alias for e in q.edges if e.is_varlen and e.alias}
+    varlen_constraints: dict[str, object] = {}
+    for c in list(remaining):
+        if (
+            c[0] == "func"
+            and c[1] == "repeat_constraint"
+            and len(c[2]) == 2
+            and isinstance(c[2][0], tuple)
+            and c[2][0][0] == "ref"
+            and c[2][0][2] == "path"
+            and c[2][0][1] in varlen_aliases
+            and isinstance(c[2][1], tuple)
+            and c[2][1][0] == "lambda"
+            and len(c[2][1][1]) == 2
+            and not _expr_refs(c[2][1], set())
+        ):
+            varlen_constraints[c[2][0][1]] = _make_lambda(c[2][1], set())
+            remaining.remove(c)
+
     def _apply_ready(df: DataFrame) -> DataFrame:
         nonlocal remaining
         cols = set(df.columns)
@@ -805,7 +831,9 @@ def _traverse(q: Query, graph: PropertyGraph, root: str | None = None) -> DataFr
             continue
         pending.remove(pick)
         ecount += 1
-        df = _apply_ready(_join_edge(df, pick, q, graph, bound, ecount))
+        df = _apply_ready(
+            _join_edge(df, pick, q, graph, bound, ecount, varlen_constraints)
+        )
 
     for c in remaining:  # conjuncts referencing unknown columns -> error here
         df = df.where(_compile_expr(c, set(df.columns)))
@@ -919,6 +947,7 @@ def _join_edge(
     graph: PropertyGraph,
     bound: set[str],
     n: int,
+    varlen_constraints: dict | None = None,
 ) -> DataFrame:
     edf = graph.edge_table(e.rel)
     if e.undirected:  # Direction.BOTH: traverse either orientation
@@ -951,9 +980,28 @@ def _join_edge(
             )
         from_alias, to_alias = (e.dst, e.src) if reverse else (e.src, e.dst)
         frontier = df.select(F.col(f"{from_alias}__vid").alias("vid")).distinct()
+        constraint = (varlen_constraints or {}).get(e.alias)
+        if constraint is not None and reverse:
+            # the walk sees swapped edges in reverse order: forward pair
+            # (cur_fwd, prev_fwd) = (unswap(new_walk), unswap(prev_walk))
+            fwd_fn = constraint
+
+            def _unswap(x):
+                return F.struct(
+                    x["dst"].alias("src"),
+                    x["src"].alias("dst"),
+                    *[x[p].alias(p) for p in props],
+                )
+
+            constraint = lambda prev, new: fwd_fn(_unswap(new), _unswap(prev))  # noqa: E731
         # the fanout cap was already applied to the true orientation above
         paths = var_len_expand_paths(
-            frontier, walk_edges, e.lower, e.upper, edge_props=props
+            frontier,
+            walk_edges,
+            e.lower,
+            e.upper,
+            edge_props=props,
+            edge_constraint=constraint,
         )
         path_col = F.col("path")
         if reverse:  # un-swap each edge and restore forward order
