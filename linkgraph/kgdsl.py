@@ -71,7 +71,8 @@ _PRIMITIVE_TYPES = {
 
 _TOKEN_RE = re.compile(
     r"""[ \t\r]*(?:
-      (?P<comment>//[^\n]*)
+      (?P<esql>>>>.*?<<<)
+    | (?P<comment>//[^\n]*)
     | (?P<nl>\n)
     | (?P<num>\d+(?:\.\d+)?)
     | (?P<dstr>"[^"]*")
@@ -81,7 +82,7 @@ _TOKEN_RE = re.compile(
     | (?P<name>[^\W\d]\w*(?:\.[^\W\d]\w*)*)
     | (?P<op><->|=>|<-|->|==|!=|<=|>=|&&|\|\||\.\.|[{}()\[\],:\-.*<>=+/%|!])
     )""",
-    re.X,
+    re.X | re.S,
 )
 
 
@@ -102,7 +103,9 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         kind = m.lastgroup
         if kind == "comment":
             continue
-        if kind == "nl":
+        if kind == "esql":  # >>> embedded sql <<< (EMBEDDED_SQL_ACTION)
+            out.append(("sql", m.group("esql")[3:-3].strip()))
+        elif kind == "nl":
             out.append(("nl", ""))
         elif kind == "num":
             out.append(("num", m.group("num")))
@@ -187,7 +190,11 @@ class Statement:
     lets: dict = field(default_factory=dict)  # name -> expr AST (inlined)
     aggs: dict = field(default_factory=dict)  # name -> (group_aliases, fn, arg ASTs)
     propsets: list = field(default_factory=list)  # (alias, prop, expr AST)
-    gets: list | None = None  # Action get(...) item ASTs
+    path_names: set = field(default_factory=set)  # named paths (path1: (s)-...)
+    gets: list | None = None  # Action get(...) items: (expr AST, alias|None)
+    view_name: str | None = None  # get(...).as(name(cols)) view name
+    view_cols: list[str] | None = None  # positional output renames
+    embedded_sql: str | None = None  # get(...).sql(>>> ... <<<)
     node_instances: list[NodeInstance] = field(default_factory=list)
     edge_instances: list[EdgeInstance] = field(default_factory=list)
 
@@ -225,7 +232,7 @@ class Statement:
             for a in args:
                 gql._expr_refs(a, refs)
         if self.gets:
-            for ex in self.gets:
+            for ex, _alias in self.gets:
                 gql._expr_refs(ex, refs)
         for ni in self.node_instances:
             for _, ex in ni.value:
@@ -406,6 +413,15 @@ def _split_lines(toks: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
                 lines.append([])
             continue
         if t != ("nl", ""):
+            # a line beginning with '.' continues the previous statement
+            # (get(...)\n  .as(...)\n  .sql(...) postfix chains)
+            if (
+                not lines[-1]
+                and t == ("op", ".")
+                and len(lines) > 1
+                and lines[-2]
+            ):
+                lines.pop()
             lines[-1].append(t)
     return [ln for ln in lines if ln]
 
@@ -507,6 +523,19 @@ class _ScriptParser:
 
     def _parse_graph_structure(self, stmt: Statement, toks) -> None:
         for line in _split_lines(toks):
+            # named path declaration (KGDSL 1.0 compat, KGDSL.g4:30
+            # comment: `path1: (s)-[p1:x]->(end:y)`): record the name,
+            # parse the chain; a Rule line that is just the bare name is
+            # an existence assertion, already implied by the inner join
+            if (
+                len(line) > 2
+                and line[0][0] == "name"
+                and "." not in line[0][1]
+                and line[1] == ("op", ":")
+                and line[2] == ("op", "(")
+            ):
+                stmt.path_names.add(line[0][1])
+                line = line[2:]
             if line[0] == ("op", "("):
                 # GQL-path chain form: (a:T)-[e:r]->(b)
                 # comma-chained patterns may share a line; _pattern_chain
@@ -611,7 +640,12 @@ class _ScriptParser:
                 )
             ):
                 body = line[2:] if line[1] == ("op", ":") else line[5:]
-                stmt.filters.append(_parse_expr(body))
+                ex = _parse_expr(body)
+                # `R1('d'): path1` — existence of a named path: implied
+                # by the pattern's inner join, so the conjunct is a no-op
+                if ex[0] == "ref" and ex[2] is None and ex[1] in stmt.path_names:
+                    continue
+                stmt.filters.append(ex)
                 continue
             # name = ... | alias.prop = ...
             if len(line) > 1 and line[0][0] == "name" and line[1] == ("op", "="):
@@ -669,10 +703,41 @@ class _ScriptParser:
                 p = _ExprParser(list(line) + [("eof", "")])
                 p.expect("name", "get")
                 p.expect("op", "(")
-                items = [p._expr()]
+                items = [self._get_item(p)]
                 while p.accept("op", ","):
-                    items.append(p._expr())
+                    items.append(self._get_item(p))
                 p.expect("op", ")")
+                # postfix .as(view(cols)) / .as(cols) / .sql(>>>...<<<)
+                while p.accept("op", "."):
+                    kw = p.expect("name")[1].lower()
+                    p.expect("op", "(")
+                    if kw == "as":
+                        first = p.expect("name")[1]
+                        if p.accept("op", "("):  # named view form
+                            stmt.view_name = first
+                            cols = [p.expect("name")[1]]
+                            self._skip_comment(p)
+                            while p.accept("op", ","):
+                                cols.append(p.expect("name")[1])
+                                self._skip_comment(p)
+                            p.expect("op", ")")
+                        else:
+                            cols = [first]
+                            self._skip_comment(p)
+                            while p.accept("op", ","):
+                                cols.append(p.expect("name")[1])
+                                self._skip_comment(p)
+                        stmt.view_cols = cols
+                    elif kw == "sql":
+                        t = p.next()
+                        if t[0] != "sql":
+                            raise SyntaxError(
+                                "sql() needs a >>> ... <<< embedded block"
+                            )
+                        stmt.embedded_sql = t[1]
+                    else:
+                        raise SyntaxError(f"unknown get() postfix .{kw}()")
+                    p.expect("op", ")")
                 stmt.gets = items
                 continue
             var = None
@@ -707,6 +772,23 @@ class _ScriptParser:
                 )
                 continue
             raise SyntaxError(f"cannot parse action line: {line}")
+
+    @staticmethod
+    def _get_item(p: "_ExprParser"):
+        """one_element_in_get: expr [as name] [COMMENT 'str']."""
+        ex = p._expr()
+        alias = None
+        if p.peek() == ("name", "as"):
+            p.next()
+            alias = p.expect("name")[1]
+        _ScriptParser._skip_comment(p)
+        return (ex, alias)
+
+    @staticmethod
+    def _skip_comment(p: "_ExprParser") -> None:
+        if p.peek() == ("name", "COMMENT"):
+            p.next()
+            p.expect("str")
 
     @staticmethod
     def _parse_kwargs(toks):
@@ -771,7 +853,7 @@ def _fix_varlen_refs(stmt: Statement) -> None:
     }
     stmt.propsets = [(a, pr, fix(ex)) for a, pr, ex in stmt.propsets]
     if stmt.gets:
-        stmt.gets = [fix(g) for g in stmt.gets]
+        stmt.gets = [(fix(g), al) for g, al in stmt.gets]
 
 
 def parse_script(text: str) -> list[Statement]:
@@ -895,7 +977,7 @@ def _bind_stmt_params(stmt: Statement, params: dict | None) -> Statement:
         (alias, prop, gql.bind_params(ex, p)) for alias, prop, ex in stmt.propsets
     ]
     if stmt.gets:
-        stmt.gets = [gql.bind_params(g, p) for g in stmt.gets]
+        stmt.gets = [(gql.bind_params(g, p), al) for g, al in stmt.gets]
     for ni in stmt.node_instances:
         ni.value = [(k, gql.bind_params(ex, p)) for k, ex in ni.value]
     for ei in stmt.edge_instances:
@@ -1143,10 +1225,12 @@ def run_script(
             lets = _resolve_lets(stmt)
             cols = set(df.columns)
             sel = []
-            for ex in stmt.gets:
+            for ex, alias in stmt.gets:
                 # name BEFORE inlining so get(x) of a let `x = ...` keeps
                 # the let's name as the output column
-                if ex[0] == "ref" and ex[2] is None and ex[1] in lets:
+                if alias is not None:
+                    nm = alias
+                elif ex[0] == "ref" and ex[2] is None and ex[1] in lets:
                     nm = ex[1]
                 elif ex[0] == "ref":
                     nm = f"{ex[1]}_{ex[2]}" if ex[2] else ex[1]
@@ -1155,4 +1239,20 @@ def run_script(
                 ex = _inline_lets(ex, lets)
                 sel.append(gql._compile_expr(ex, cols).alias(nm))
             table = df.select(*sel)
+            if stmt.view_cols is not None:
+                if len(stmt.view_cols) != len(sel):
+                    raise ValueError(
+                        f".as() names {len(stmt.view_cols)} columns but "
+                        f"get() has {len(sel)} items"
+                    )
+                table = table.toDF(*stmt.view_cols)
+            if stmt.embedded_sql is not None:
+                # get(...).sql(>>> ... <<<): the result registers as a
+                # temp view (named by .as(name(...)), default 'view') and
+                # the embedded SQL — Catalyst-native — becomes the result
+                view = stmt.view_name or "view"
+                table.createOrReplaceTempView(view)
+                table = table.sparkSession.sql(stmt.embedded_sql)
+            elif stmt.view_name is not None:
+                table.createOrReplaceTempView(stmt.view_name)
     return KgdslResult(table=table, graph=g, ddl=ddl)

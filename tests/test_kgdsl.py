@@ -42,7 +42,7 @@ def test_parse_road_dsl_golden():
     assert {e.rel for e in s.query.edges} == {"subject", "object"}
     assert ("bin", "=", ("ref", "o1", "id"), ("lit", "zhangsan")) in s.filters
     assert ("bin", "rlike", ("ref", "o3", "name"), ("lit", "north.*")) in s.filters
-    assert s.gets == [("ref", "o3", "name")]
+    assert s.gets == [(("ref", "o3", "name"), None)]
 
 
 def test_parse_define_golden():
@@ -690,3 +690,57 @@ Action {{ get(a.id, b.id, repeat_edge_length(e1)) }}
     assert ("a1", "a3", 2) in fr       # 1-2-3: [10, 20]
     assert ("a3", "a6", 3) in fr       # 3-4-5-6: [15, 30, 40]
     assert ("a1", "a4", 3) not in fr   # 1-2-3-4: [10, 20, 15] not monotone
+
+
+def test_get_as_view_and_embedded_sql(fund_graph):
+    """get(... as alias).as(view(cols)).sql(>>> ... <<<) — the
+    EMBEDDED_SQL_ACTION form (KGDSL.g4:479-484): the projection
+    registers as a temp view and the embedded SQL is the result."""
+    res = run_script(
+        """
+GraphStructure { (a:Account)-[t:transfer]->(b:Account) }
+Rule { }
+Action {
+    get(a.id as src_id COMMENT 'payer', t.amount as amt)
+    .as(flows(payer, amount))
+    .sql(>>>
+        select payer, sum(amount) as total
+        from flows group by payer
+    <<<)
+}
+""",
+        fund_graph,
+    )
+    got = {(r["payer"], r["total"]) for r in res.table.collect()}
+    assert got == {("acc1", 150.0), ("acc2", 80.0), ("acc3", 30.0)}
+
+
+def test_get_item_alias_without_view(fund_graph):
+    res = run_script(
+        "GraphStructure { (a:Account)-[t:transfer]->(b:Account) }\n"
+        "Rule { R0: t.amount >= 70 }\n"
+        "Action { get(a.id as payer, b.id as payee) }",
+        fund_graph,
+    )
+    got = {(r["payer"], r["payee"]) for r in res.table.collect()}
+    assert got == {("acc1", "acc2"), ("acc2", "acc3")}
+
+
+def test_named_path_declaration_and_existence_rule(fund_graph):
+    """KGDSL 1.0 compat: `path1: (s)-[e]->(o)` names a path;
+    `R1('d'): path1` asserts its existence (a no-op beyond the join)."""
+    res = run_script(
+        """
+GraphStructure {
+    path1: (a:Account)-[t:transfer]->(b:Account)
+}
+Rule {
+    R1("must exist"): path1
+    R2: t.amount >= 70
+}
+Action { get(a.id, b.id) }
+""",
+        fund_graph,
+    )
+    got = {(r["a_id"], r["b_id"]) for r in res.table.collect()}
+    assert got == {("acc1", "acc2"), ("acc2", "acc3")}
