@@ -784,6 +784,13 @@ def _d_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-n-gram repetition features (public paper
+    heuristics; degenerate/boilerplate docs show high dup fractions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs)
+
+
 def _d_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
@@ -929,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_concept_expand": _c1_concept_expand,
         "d_exact_dedup": _d_exact_dedup,
         "d_text_stats": _d_text_stats,
+        "d_repetition": _d_repetition,
         "d_word_topk": _d_word_topk,
         "d_lang_id": _d_lang_id,
         "d_quality": _d_quality,
@@ -1745,6 +1753,31 @@ SELECT doc_id,
   FLOOR(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
         / GREATEST(LENGTH(text), 1) * 10000) / 10000 AS punct_ratio
 FROM documents""",
+        "d_repetition": r"""
+WITH b AS (
+  SELECT doc_id,
+         COALESCE(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  CAST([] AS VARCHAR[])) AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, w,
+         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS g2
+  FROM b
+),
+ex AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) AS topc FROM cnt GROUP BY 1)
+SELECT g.doc_id,
+  len(w) AS n_words,
+  FLOOR(CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+        / GREATEST(len(w), 1) * 10000) / 10000 AS dup_word_frac,
+  len(g2) AS n_2grams,
+  FLOOR(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+        / GREATEST(len(g2), 1) * 10000) / 10000 AS dup_2gram_frac,
+  FLOOR(CAST(COALESCE(top.topc, 0) AS DOUBLE)
+        / GREATEST(len(g2), 1) * 10000) / 10000 AS max_2gram_frac
+FROM g LEFT JOIN top ON g.doc_id = top.doc_id""",
         "d_word_topk": r"""
 SELECT word, COUNT(*) AS n FROM (
   SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word FROM documents

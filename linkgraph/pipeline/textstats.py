@@ -95,6 +95,67 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return docs.select(F.col(id_col), best["lang"].alias("pred_lang"))
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 quality heuristics, public paper): (id, n_words, dup_word_frac,
+    n_2grams, dup_2gram_frac, max_2gram_frac). Boilerplate-heavy and
+    degenerate (looping) documents show high duplicate-n-gram fractions;
+    used as pre-training filter features alongside text_stats.
+
+    Cardinality-preserving (one row per doc, NULL text -> zeros). The
+    word/2-gram fractions stay inside array expressions (whole-stage
+    codegen); only the most-frequent-2-gram count needs an explode +
+    two-level aggregate — map-side combined, shuffles (id, gram) pairs.
+    """
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.coalesce(toks, F.array().cast("array<string>")).alias("__w__"),
+    )
+    n = F.size("__w__")
+    g2 = F.zip_with(
+        F.slice("__w__", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("__w__", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    pre = base.select(F.col(id_col), F.col("__w__"), g2.alias("__g2__"))
+    r4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731 — engine-stable
+    n2 = F.size("__g2__")
+    stats = pre.select(
+        F.col(id_col),
+        F.size("__w__").alias("n_words"),
+        r4(
+            (F.size("__w__") - F.size(F.array_distinct("__w__"))).cast("double")
+            / F.greatest(F.size("__w__"), F.lit(1))
+        ).alias("dup_word_frac"),
+        n2.alias("n_2grams"),
+        r4(
+            (n2 - F.size(F.array_distinct("__g2__"))).cast("double")
+            / F.greatest(n2, F.lit(1))
+        ).alias("dup_2gram_frac"),
+    )
+    top = (
+        pre.select(F.col(id_col), F.explode("__g2__").alias("__g__"))
+        .groupBy(id_col, "__g__")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("__top__"))
+    )
+    return stats.join(top, id_col, "left").select(
+        F.col(id_col),
+        "n_words",
+        "dup_word_frac",
+        "n_2grams",
+        "dup_2gram_frac",
+        r4(
+            F.coalesce(F.col("__top__"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_2grams"), F.lit(1))
+        ).alias("max_2gram_frac"),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, fp bigint) — order-independent-normalized content fingerprint:
     xxhash64 of the whitespace-normalized lowercase text."""

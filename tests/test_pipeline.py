@@ -481,3 +481,34 @@ def test_image_metadata_real_png(spark):
 
     with _pytest.raises(NotImplementedError):
         multimodal.decode_image_bytes(blob16)
+
+
+def test_repetition_stats(spark):
+    """Gopher-style duplicate-n-gram fractions: a looping doc scores
+    high, a diverse doc scores 0, NULL text yields zeros (cardinality
+    preserved)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all words here are different"),
+            (3, None),
+            (4, "one"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    r1 = got[1]
+    assert r1["n_words"] == 4
+    assert r1["dup_word_frac"] == 0.75          # 4 words, 1 distinct
+    assert r1["n_2grams"] == 3
+    assert r1["dup_2gram_frac"] == 0.6666       # 3 grams, 1 distinct (floor r4)
+    assert r1["max_2gram_frac"] == 1.0          # 'spam spam' is every gram
+    r2 = got[2]
+    assert r2["dup_word_frac"] == 0.0 and r2["dup_2gram_frac"] == 0.0
+    assert r2["max_2gram_frac"] == 0.25         # 4 grams, each once
+    r3 = got[3]
+    assert r3["n_words"] == 0 and r3["max_2gram_frac"] == 0.0
+    r4_ = got[4]
+    assert r4_["n_words"] == 1 and r4_["n_2grams"] == 0
+    assert r4_["max_2gram_frac"] == 0.0
