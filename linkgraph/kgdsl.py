@@ -155,10 +155,13 @@ class DefineHead:
     pred: str
     obj: str
     obj_type: str
+    concept: bool = False  # [o:Concept/`inst`] — string-valued (KTConcept)
 
     @property
     def is_property(self) -> bool:
-        return self.obj_type.lower() in _PRIMITIVE_TYPES
+        # KTConcept lowers to StringType (SURVEY §1.2), so a concept-
+        # qualified target is an AddProperty, not a derived edge
+        return self.concept or self.obj_type.lower() in _PRIMITIVE_TYPES
 
 
 @dataclass
@@ -494,12 +497,28 @@ class _ScriptParser:
         pred = self._expect("name")[1]
         self._expect("op", "]")
         self._expect("op", "->")
-        self._expect("op", "(")
+        # object may be parenthesized `(o:Type)` or bracketed
+        # `[o:Concept/`inst`]` (KGDSL.g4:47 comment form); a /concept
+        # qualifier marks a concept-typed target (string-valued property)
+        opener = self._next()
+        if opener == ("op", "("):
+            closer = ")"
+        elif opener == ("op", "["):
+            closer = "]"
+        else:
+            raise SyntaxError(f"Define object needs (o:Type) or [o:Type], got {opener}")
         obj = self._expect("name")[1]
         self._expect("op", ":")
         obj_type = self._expect("name")[1]
-        self._expect("op", ")")
-        head = DefineHead(subj, subj_label, pred_alias, pred, obj, obj_type)
+        concept = False
+        if self._peek() == ("op", "/"):
+            self._next()
+            self._expect("name")  # concept instance — typed as its label
+            concept = True
+        self._expect("op", closer)
+        head = DefineHead(
+            subj, subj_label, pred_alias, pred, obj, obj_type, concept
+        )
         self._expect("op", "{")
         stmt = self._base_rule(head)
         self._expect("op", "}")

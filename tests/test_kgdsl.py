@@ -744,3 +744,24 @@ Action { get(a.id, b.id) }
     )
     got = {(r["a_id"], r["b_id"]) for r in res.table.collect()}
     assert got == {("acc1", "acc2"), ("acc2", "acc3")}
+
+
+def test_define_concept_object_is_string_property(fund_graph):
+    """`Define ...->[o:RiskConcept/`x`]` (KGDSL.g4:47 comment form):
+    a concept-typed object lowers to a STRING property (KTConcept ->
+    StringType), not a derived edge."""
+    res = run_script(
+        """
+Define (s:Account)-[p:riskLevel]->[o:RiskConcept/`tier`] {
+    GraphStructure { (s) }
+    Rule { o = rule_value(s.vid >= 3, 'high', 'low') }
+}
+GraphStructure { (s:Account) }
+Rule { R0: s.riskLevel == 'high' }
+Action { get(s.id, s.riskLevel) }
+""",
+        fund_graph,
+    )
+    got = {(r["s_id"], r["s_riskLevel"]) for r in res.table.collect()}
+    assert got == {("acc3", "high"), ("acc4", "high")}
+    assert "riskLevel" not in res.graph.edges  # property, not an edge
