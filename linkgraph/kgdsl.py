@@ -194,6 +194,10 @@ class Statement:
     aggs: dict = field(default_factory=dict)  # name -> (group_aliases, fn, arg ASTs)
     propsets: list = field(default_factory=list)  # (alias, prop, expr AST)
     path_names: set = field(default_factory=set)  # named paths (path1: (s)-...)
+    # per-group row filters (OrderAndSliceBlock / keep_*_path rules):
+    # ("topk", aliases, [(expr, asc)], limit) |
+    # ("keep_path", aliases, edge_alias, "longest"|"shortest")
+    group_filters: list = field(default_factory=list)
     gets: list | None = None  # Action get(...) items: (expr AST, alias|None)
     view_name: str | None = None  # get(...).as(name(cols)) view name
     view_cols: list[str] | None = None  # positional output renames
@@ -229,6 +233,10 @@ class Statement:
             gql._expr_refs(f2, refs)
         for ex in self.lets.values():
             gql._expr_refs(ex, refs)
+        for gf in self.group_filters:
+            if gf[0] == "topk":
+                for ex, _asc in gf[2]:
+                    gql._expr_refs(ex, refs)
         for _, _, ex in self.propsets:
             gql._expr_refs(ex, refs)
         for _, (_, _, args) in self.aggs.items():
@@ -310,6 +318,36 @@ class _ExprParser(gql._Parser):
                 args.append(self._lambda_or_expr())
         self.expect("op", ")")
         low = name.lower()
+        if obj[0] in ("func", "groupop") and (
+            obj[0] == "groupop" or obj[1] == "group"
+        ):
+            # group(aliases).asc/desc(expr)*.limit(k) — per-group top-k
+            # rule (OrderAndSliceBlock, KgReasonerTopKFilmTest.java:85);
+            # group(A).keep_longest_path(e) keeps max-length paths
+            if obj[0] == "func":
+                aliases = []
+                for a in obj[2]:
+                    if a[0] != "ref" or a[2] is not None:
+                        raise SyntaxError("group() takes bare aliases")
+                    aliases.append(a[1])
+                obj = ("groupop", aliases, [], None)
+            _, aliases, sorts, limit = obj
+            if low in ("asc", "desc"):
+                if len(args) != 1:
+                    raise SyntaxError(f"{low}() takes one sort expression")
+                return ("groupop", aliases, sorts + [(args[0], low == "asc")], limit)
+            if low == "limit":
+                if len(args) != 1 or args[0][0] != "lit":
+                    raise SyntaxError("limit() takes one integer literal")
+                return ("topk", aliases, sorts, int(args[0][1]))
+            if low in ("keep_longest_path", "keep_shortest_path"):
+                if len(args) != 1 or args[0][0] != "ref" or args[0][2] is not None:
+                    raise SyntaxError(f"{low}() takes a var-len edge alias")
+                return (
+                    "keep_path", aliases, args[0][1],
+                    "longest" if low == "keep_longest_path" else "shortest",
+                )
+            raise SyntaxError(f"unknown group() method .{name}()")
         if low == "edges":
             if args or obj[0] != "ref" or obj[2] is not None:
                 raise SyntaxError("edges() takes no args and applies to an alias")
@@ -528,8 +566,12 @@ class _ScriptParser:
         self._expect("name", "GraphStructure")
         stmt = Statement(define=head)
         if head is not None:
-            # the Define head binds the subject's label for the body
+            # the Define head binds the subject's label for the body —
+            # and the object's, when the target is an entity type
+            # (`->(o:FilmStar)` types the body's bare `(o)`)
             stmt.query.nodes[head.subj] = gql.NodePat(head.subj, head.subj_label)
+            if not head.is_property:
+                stmt.query.nodes[head.obj] = gql.NodePat(head.obj, head.obj_type)
         self._parse_graph_structure(stmt, self._block())
         if self._peek() == ("name", "Rule"):
             self._next()
@@ -664,6 +706,13 @@ class _ScriptParser:
                 # by the pattern's inner join, so the conjunct is a no-op
                 if ex[0] == "ref" and ex[2] is None and ex[1] in stmt.path_names:
                     continue
+                if ex[0] in ("topk", "keep_path"):
+                    stmt.group_filters.append(ex)
+                    continue
+                if ex[0] == "groupop":
+                    raise SyntaxError(
+                        "group().asc/desc(...) rule needs a trailing .limit(k)"
+                    )
                 stmt.filters.append(ex)
                 continue
             # name = ... | alias.prop = ...
@@ -997,6 +1046,12 @@ def _bind_stmt_params(stmt: Statement, params: dict | None) -> Statement:
     ]
     if stmt.gets:
         stmt.gets = [(gql.bind_params(g, p), al) for g, al in stmt.gets]
+    stmt.group_filters = [
+        ("topk", gf[1], [(gql.bind_params(ex, p), asc) for ex, asc in gf[2]], gf[3])
+        if gf[0] == "topk"
+        else gf
+        for gf in stmt.group_filters
+    ]
     for ni in stmt.node_instances:
         ni.value = [(k, gql.bind_params(ex, p)) for k, ex in ni.value]
     for ei in stmt.edge_instances:
@@ -1013,7 +1068,53 @@ def _matched(stmt: Statement, graph: gql.PropertyGraph) -> DataFrame:
     conj = [_inline_lets(f2, lets) for f2 in stmt.filters]
     for c in conj:
         q.where = c if q.where is None else ("bin", "and", q.where, c)
-    return gql._traverse(q, graph, root=stmt.root)
+    df = gql._traverse(q, graph, root=stmt.root)
+    for gf in stmt.group_filters:
+        df = _apply_group_filter(df, gf, lets)
+    return df
+
+
+def _apply_group_filter(df: DataFrame, gf, lets: dict) -> DataFrame:
+    """Per-group row filters from group() rules: top-k by sort exprs
+    (OrderAndSliceBlock analog — row_number window) or keep longest/
+    shortest var-len paths (keep_*_path UDAF semantics — min/max window
+    on path length). Window, not groupBy: the surviving rows keep every
+    bound column."""
+    from pyspark.sql import Window
+
+    cols = set(df.columns)
+    keys = [f"{a}__vid" for a in gf[1]]
+    for k in keys:
+        if k not in cols:
+            raise ValueError(f"group() alias {k.split('__')[0]!r} is not bound")
+    if gf[0] == "topk":
+        _, _aliases, sorts, limit = gf
+        order = []
+        for ex, asc in sorts:
+            c = gql._compile_expr(_inline_lets(ex, lets), cols)
+            order.append(c.asc() if asc else c.desc())
+        # deterministic tie-break: the other vid columns, ascending
+        ties = [
+            F.col(c).asc()
+            for c in sorted(cols)
+            if c.endswith("__vid") and c not in keys
+        ]
+        w = Window.partitionBy(*keys).orderBy(*order, *ties)
+        return (
+            df.withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") <= limit)
+            .drop("__rn__")
+        )
+    _, _aliases, edge_alias, which = gf
+    path_col = f"{edge_alias}__path"
+    if path_col not in cols:
+        raise ValueError(
+            f"keep_{which}_path: {edge_alias!r} is not a bound var-len edge"
+        )
+    ln = F.size(F.col(path_col))
+    w = Window.partitionBy(*keys)
+    target = F.max(ln).over(w) if which == "longest" else F.min(ln).over(w)
+    return df.withColumn("__m__", target).where(ln == F.col("__m__")).drop("__m__")
 
 
 def _run_define(
@@ -1072,10 +1173,13 @@ def _run_define(
     # AddPredicate: derived edge (subject)-[pred]->(object alias); edge
     # properties from ``p.x = ...`` lines (aggregated per (s,o) pair).
     okey = f"{head.obj}__vid"
-    if okey not in cols:
+    if okey not in cols or not any(
+        head.obj in (e.src, e.dst) for e in stmt.query.edges
+    ):
         raise ValueError(
-            f"Define {head.pred}: object alias {head.obj!r} is not bound "
-            "by the GraphStructure pattern"
+            f"Define {head.pred}: object alias {head.obj!r} must appear in "
+            "the GraphStructure pattern (it was pre-bound from the head but "
+            "no pattern edge touches it)"
         )
     group_keys = [skey, okey]
     agg_cols = []

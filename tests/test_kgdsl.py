@@ -765,3 +765,62 @@ Action { get(s.id, s.riskLevel) }
     got = {(r["s_id"], r["s_riskLevel"]) for r in res.table.collect()}
     assert got == {("acc3", "high"), ("acc4", "high")}
     assert "riskLevel" not in res.graph.edges  # property, not an edge
+
+
+def test_group_topk_rule_youngstar_shape(spark):
+    """KgReasonerTopKFilmTest doTest2: a Define whose Rule keeps only
+    the per-group top-1 by sort (`group(s).asc(o.age).limit(1)`), then a
+    query over the derived youngStar edge."""
+    films = spark.createDataFrame([(1, "f1"), (2, "f2")], "vid bigint, id string")
+    stars = spark.createDataFrame(
+        [(10, "s10", 25), (11, "s11", 19), (12, "s12", 30), (13, "s13", 22)],
+        "vid bigint, id string, age int",
+    )
+    cast = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 12), (2, 13)], "src bigint, dst bigint"
+    )
+    g = PropertyGraph({"Film": films, "FilmStar": stars}, {"starOfFilm": cast})
+    res = run_script(
+        """
+Define (s:Film)-[p:youngStar]->(o:FilmStar) {
+    GraphStructure {
+        (s)-[e:starOfFilm]->(o)
+    }
+    Rule {
+        R1("youngest only"): group(s).asc(o.age).limit(1)
+    }
+}
+GraphStructure { (s:Film)-[y:youngStar]->(o:FilmStar) }
+Rule { }
+Action { get(s.id, o.id) }
+""",
+        g,
+    )
+    got = {(r["s_id"], r["o_id"]) for r in res.table.collect()}
+    assert got == {("f1", "s11"), ("f2", "s13")}  # youngest per film
+
+
+def test_group_keep_longest_path_rule(spark):
+    """TransitiveOptionalTest shape: group(A).keep_longest_path(F1)
+    keeps only each root's maximum-length var-len paths."""
+    acc = spark.createDataFrame([(i, f"a{i}") for i in range(1, 6)],
+                                "vid bigint, id string")
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 5)],
+                              "src bigint, dst bigint")
+    g = PropertyGraph({"A": acc}, {"r": e})
+    res = run_script(
+        """
+GraphStructure {
+    a [A, __start__='true']
+    a -> b [r] repeat(1,3) as F1
+}
+Rule {
+    R0: a.id == 'a1'
+    R1("longest only"): group(a).keep_longest_path(F1)
+}
+Action { get(b.id, repeat_edge_length(F1)) }
+""",
+        g,
+    )
+    rows = {(r[0], r[1]) for r in res.table.collect()}
+    assert rows == {("a4", 3)}  # 1-2-3-4 beats 1-2, 1-2-3, 1-5
