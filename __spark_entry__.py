@@ -710,6 +710,26 @@ Action { get(a.vid, b.vid, n) }
     return res.table
 
 
+def _k5_kgdsl_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OrderAndSlice as a KGDSL Rule
+    (group(a).desc(b.vid).limit(2) — KgReasonerTopKFilmTest.java:85
+    youngStar shape): keep each source's top-2 neighbors."""
+    from linkgraph.kgdsl import run_script
+
+    g = _graph997_named(spark, sf_dir)
+    res = run_script(
+        """
+GraphStructure { (a:V)-[e:E]->(b:V) }
+Rule {
+    R1("top2 by dst"): group(a).desc(b.vid).limit(2)
+}
+Action { get(a.vid, b.vid) }
+""",
+        g,
+    )
+    return res.table
+
+
 def _c1_concept_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConceptEdgeExpand parity: parts tagged with a brand concept
     generalize up the Brand#NN -> Brand#N -> Brand taxonomy."""
@@ -932,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k2_kgdsl_define": _k2_kgdsl_define,
         "k3_kgdsl_ddl": _k3_kgdsl_ddl,
         "k4_kgdsl_finbench": _k4_kgdsl_finbench,
+        "k5_kgdsl_group_topk": _k5_kgdsl_group_topk,
         "t1_thinker_reach": _t1_thinker_reach,
         "c1_concept_expand": _c1_concept_expand,
         "d_exact_dedup": _d_exact_dedup,
@@ -1713,6 +1734,14 @@ WITH e AS (
 SELECT e1.src AS a_vid, e2.dst AS b_vid, CAST(2 AS INTEGER) AS n
 FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.ts < e2.ts
 WHERE e1.src = 7""",
+        "k5_kgdsl_group_topk": f"""
+WITH edges AS ({EDGES_SQL}),
+ranked AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst DESC) AS rn
+  FROM edges
+)
+SELECT src AS a_vid, dst AS b_vid FROM ranked WHERE rn <= 2""",
         "t1_thinker_reach": """
 WITH RECURSIVE e AS (
   SELECT DISTINCT l_orderkey % 211 AS src, l_partkey % 211 AS dst
