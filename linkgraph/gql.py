@@ -835,6 +835,21 @@ def _traverse(q: Query, graph: PropertyGraph, root: str | None = None) -> DataFr
             _join_edge(df, pick, q, graph, bound, ecount, varlen_constraints)
         )
 
+    # node-only leftovers: aliases no pattern edge touches (the edge loop
+    # above never runs for them) — same product-pattern semantics
+    for a in q.nodes:
+        if a not in bound:
+            import warnings
+
+            warnings.warn(
+                f"alias {a!r} is connected to no pattern edge — planning a "
+                "cartesian product (row counts multiply); check for a "
+                "misspelled alias",
+                stacklevel=3,
+            )
+            df = _apply_ready(df.crossJoin(_bind_vertex(None, a, q, graph)))
+            bound.add(a)
+
     for c in remaining:  # conjuncts referencing unknown columns -> error here
         df = df.where(_compile_expr(c, set(df.columns)))
     return df

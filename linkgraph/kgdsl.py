@@ -156,6 +156,7 @@ class DefineHead:
     obj: str
     obj_type: str
     concept: bool = False  # [o:Concept/`inst`] — string-valued (KTConcept)
+    concept_instance: str | None = None  # the `inst`; default o value
 
     @property
     def is_property(self) -> bool:
@@ -194,6 +195,7 @@ class Statement:
     aggs: dict = field(default_factory=dict)  # name -> (group_aliases, fn, arg ASTs)
     propsets: list = field(default_factory=list)  # (alias, prop, expr AST)
     path_names: set = field(default_factory=set)  # named paths (path1: (s)-...)
+    body_aliases: set = field(default_factory=set)  # aliases the body mentions
     # per-group row filters (OrderAndSliceBlock / keep_*_path rules):
     # ("topk", aliases, [(expr, asc)], limit) |
     # ("keep_path", aliases, edge_alias, "longest"|"shortest")
@@ -405,10 +407,12 @@ class _PatternParser(gql._Parser):
         self.toks = toks
         self.i = 0
         self.concept_filters: list = []
+        self.seen_aliases: set[str] = set()
 
     def _node(self, q: gql.Query) -> str:
         self.expect("op", "(")
         alias = self.expect("name")[1]
+        self.seen_aliases.add(alias)
         label = None
         if self.accept("op", ":"):
             label = self.expect("name")[1]
@@ -426,6 +430,28 @@ class _PatternParser(gql._Parser):
         if prev is None or (prev.label is None and label is not None):
             q.nodes[alias] = gql.NodePat(alias, label)
         return alias
+
+
+def _contains_groupop(e) -> bool:
+    """True when a group() top-k/keep-path node is nested inside a larger
+    expression — not compilable as a row predicate, must be its own rule."""
+    if not isinstance(e, tuple):
+        return False
+    if e[0] in ("topk", "keep_path", "groupop"):
+        return True
+    if e[0] == "bin":
+        return _contains_groupop(e[2]) or _contains_groupop(e[3])
+    if e[0] == "not":
+        return _contains_groupop(e[1])
+    if e[0] == "func":
+        return any(_contains_groupop(a) for a in e[2])
+    if e[0] == "in" and isinstance(e[2], list):
+        return _contains_groupop(e[1]) or any(_contains_groupop(a) for a in e[2])
+    if e[0] == "in":
+        return _contains_groupop(e[1])
+    if e[0] == "lambda":
+        return _contains_groupop(e[2])
+    return False
 
 
 def _type_name(expr, what: str) -> str:
@@ -549,13 +575,14 @@ class _ScriptParser:
         self._expect("op", ":")
         obj_type = self._expect("name")[1]
         concept = False
+        instance = None
         if self._peek() == ("op", "/"):
             self._next()
-            self._expect("name")  # concept instance — typed as its label
+            instance = self._expect("name")[1]  # belongTo-style instance
             concept = True
         self._expect("op", closer)
         head = DefineHead(
-            subj, subj_label, pred_alias, pred, obj, obj_type, concept
+            subj, subj_label, pred_alias, pred, obj, obj_type, concept, instance
         )
         self._expect("op", "{")
         stmt = self._base_rule(head)
@@ -608,6 +635,7 @@ class _ScriptParser:
                 if p.peek()[0] != "eof":
                     raise SyntaxError(f"trailing tokens in pattern: {p.peek()}")
                 stmt.filters.extend(p.concept_filters)
+                stmt.body_aliases |= p.seen_aliases
             else:
                 # arrow-DSL form (KGDSL.g4:118 one_edge_pattern; FinBench
                 # trc1, FinBenchTest.java:86-92):
@@ -620,6 +648,7 @@ class _ScriptParser:
         left = p.expect("name")[1]
         if "." in left:
             raise SyntaxError(f"bad pattern alias {left!r}")
+        stmt.body_aliases.add(left)
         t = p.peek()
         if t == ("op", "[") or t[0] == "eof":
             # node declaration with optional label + property constraints
@@ -653,6 +682,7 @@ class _ScriptParser:
         if arrow not in (("op", "->"), ("op", "<->"), ("op", "<-")):
             raise SyntaxError(f"expected -> / <-> / <- after {left!r}, got {arrow}")
         right = p.expect("name")[1]
+        stmt.body_aliases.add(right)
         rel = None
         if p.accept("op", "["):
             rels = [p.expect("name")[1]]
@@ -712,6 +742,12 @@ class _ScriptParser:
                 if ex[0] == "groupop":
                     raise SyntaxError(
                         "group().asc/desc(...) rule needs a trailing .limit(k)"
+                    )
+                if _contains_groupop(ex):
+                    raise SyntaxError(
+                        "a group() top-k/keep-path rule must be the whole "
+                        "rule body — split `R: group(...)... && cond` into "
+                        "two named rules"
                     )
                 stmt.filters.append(ex)
                 continue
@@ -920,6 +956,12 @@ def _fix_varlen_refs(stmt: Statement) -> None:
         for k, (al, fn, args) in stmt.aggs.items()
     }
     stmt.propsets = [(a, pr, fix(ex)) for a, pr, ex in stmt.propsets]
+    stmt.group_filters = [
+        ("topk", gf[1], [(fix(ex), asc) for ex, asc in gf[2]], gf[3])
+        if gf[0] == "topk"
+        else gf
+        for gf in stmt.group_filters
+    ]
     if stmt.gets:
         stmt.gets = [(fix(g), al) for g, al in stmt.gets]
 
@@ -1093,12 +1135,20 @@ def _apply_group_filter(df: DataFrame, gf, lets: dict) -> DataFrame:
         for ex, asc in sorts:
             c = gql._compile_expr(_inline_lets(ex, lets), cols)
             order.append(c.asc() if asc else c.desc())
-        # deterministic tie-break: the other vid columns, ascending
+        # deterministic tie-break: the other vid columns + var-len hop
+        # counts, ascending (rows identical on every vid can still differ
+        # by path length)
         ties = [
             F.col(c).asc()
             for c in sorted(cols)
-            if c.endswith("__vid") and c not in keys
+            if (c.endswith("__vid") and c not in keys) or c.endswith("__hops")
         ]
+        if not order and not ties:
+            raise ValueError(
+                "group().limit(k) needs at least one asc()/desc() sort "
+                "expression (or a non-key alias) to order rows "
+                "deterministically"
+            )
         w = Window.partitionBy(*keys).orderBy(*order, *ties)
         return (
             df.withColumn("__rn__", F.row_number().over(w))
@@ -1159,10 +1209,16 @@ def _run_define(
                 (ex for a, p2, ex in stmt.propsets if a == head.obj), None
             )
             if target is None:
-                raise ValueError(
-                    f"Define {head.pred}: no `{head.obj} = ...` rule line"
-                )
-            val = gql._compile_expr(_inline_lets(target, lets), cols)
+                if head.concept_instance is not None:
+                    # belongTo-style Define with no `o = ...` line: every
+                    # matching subject gets the concept instance itself
+                    val = F.lit(head.concept_instance)
+                else:
+                    raise ValueError(
+                        f"Define {head.pred}: no `{head.obj} = ...` rule line"
+                    )
+            else:
+                val = gql._compile_expr(_inline_lets(target, lets), cols)
         out = df.select(F.col(skey).alias("vid"), val.alias(head.pred))
         # deterministic collapse if the pattern fans out (single-node
         # patterns — the common case — are 1 row per subject already)
@@ -1173,13 +1229,12 @@ def _run_define(
     # AddPredicate: derived edge (subject)-[pred]->(object alias); edge
     # properties from ``p.x = ...`` lines (aggregated per (s,o) pair).
     okey = f"{head.obj}__vid"
-    if okey not in cols or not any(
-        head.obj in (e.src, e.dst) for e in stmt.query.edges
-    ):
+    if okey not in cols or head.obj not in stmt.body_aliases:
         raise ValueError(
             f"Define {head.pred}: object alias {head.obj!r} must appear in "
-            "the GraphStructure pattern (it was pre-bound from the head but "
-            "no pattern edge touches it)"
+            f"the GraphStructure pattern (pre-binding from the head alone "
+            f"does not place it; declare ({head.obj}) or connect it with "
+            f"an edge)"
         )
     group_keys = [skey, okey]
     agg_cols = []

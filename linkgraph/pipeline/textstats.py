@@ -21,6 +21,13 @@ def tokens(text_col: str | Column) -> Column:
     return F.split(F.trim(F.lower(c)), r"\s+")
 
 
+def _r4(c: Column) -> Column:
+    """Floor-based 4-decimal truncation: unlike round(), identical across
+    engines at exact .xxxx5 ties (ratios of small ints hit those). The
+    single source of truth — every oracle-checked ratio uses this."""
+    return F.floor(c * 10000) / 10000
+
+
 def bpe_ish_token_count(text_col: str | Column) -> Column:
     """Sub-word-ish token count: split on whitespace AND punctuation
     boundaries (a cheap regex proxy for BPE pre-tokenization)."""
@@ -50,9 +57,7 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         + (1 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
         + (1 - F.least(digit_ratio * 4, F.lit(1.0))) * 0.3
     )
-    # floor-based 4-decimal truncation: unlike round(), identical across
-    # engines at exact .xxxx5 ties (ratios of small ints hit those)
-    r4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    r4 = _r4
     return docs.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -121,7 +126,7 @@ def repetition_stats(
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     pre = base.select(F.col(id_col), F.col("__w__"), g2.alias("__g2__"))
-    r4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731 — engine-stable
+    r4 = _r4
     n2 = F.size("__g2__")
     stats = pre.select(
         F.col(id_col),

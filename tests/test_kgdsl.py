@@ -824,3 +824,91 @@ Action { get(b.id, repeat_edge_length(F1)) }
     )
     rows = {(r[0], r[1]) for r in res.table.collect()}
     assert rows == {("a4", 3)}  # 1-2-3-4 beats 1-2, 1-2-3, 1-5
+
+
+def test_group_topk_sort_on_path_length(spark):
+    """Sort expressions inside group() rules resolve bare var-len
+    aliases to the path column (the fix-varlen pass covers
+    group_filters)."""
+    acc = spark.createDataFrame([(i, f"a{i}") for i in range(1, 5)],
+                                "vid bigint, id string")
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint")
+    g = PropertyGraph({"A": acc}, {"r": e})
+    res = run_script(
+        """
+GraphStructure {
+    a [A, __start__='true']
+    a -> b [r] repeat(1,3) as F1
+}
+Rule {
+    R0: a.id == 'a1'
+    R1: group(a).desc(repeat_edge_length(F1)).limit(1)
+}
+Action { get(b.id, repeat_edge_length(F1)) }
+""",
+        g,
+    )
+    rows = {(r[0], r[1]) for r in res.table.collect()}
+    assert rows == {("a4", 3)}
+
+
+def test_define_edge_with_node_only_body(fund_graph):
+    """The object alias may be bound by a standalone node declaration
+    (cross-join product pattern) — sameName-style Defines."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the intentional product warns
+        res = run_script(
+            """
+Define (s:Account)-[p:peer]->(o:Account) {
+    GraphStructure {
+        (s), (o)
+    }
+    Rule { R1: s.vid < o.vid }
+}
+GraphStructure { (a:Account)-[e:peer]->(b:Account) }
+Rule { }
+Action { get(a.id, b.id) }
+""",
+            fund_graph,
+        )
+        assert res.table.count() == 6  # C(4,2) ordered pairs
+
+
+def test_concept_instance_is_default_value(fund_graph):
+    """`->[o:RiskConcept/`high`]` with no `o = ...` line: matching
+    subjects get the instance string itself (belongTo semantics)."""
+    res = run_script(
+        """
+Define (s:Account)-[p:risk]->[o:RiskConcept/`high`] {
+    GraphStructure { (s) }
+    Rule { R1: s.vid >= 3 }
+}
+GraphStructure { (s:Account) }
+Rule { R0: s.risk == 'high' }
+Action { get(s.id) }
+""",
+        fund_graph,
+    )
+    assert {r["s_id"] for r in res.table.collect()} == {"acc3", "acc4"}
+
+
+def test_group_limit_without_order_raises(fund_graph):
+    with pytest.raises(ValueError, match="asc\\(\\)/desc\\(\\)"):
+        run_script(
+            "GraphStructure { (a:Account)-[t:transfer]->(b:Account) }\n"
+            "Rule { R1: group(a, b).limit(1) }\n"
+            "Action { get(a.id) }",
+            fund_graph,
+        )
+
+
+def test_compound_group_rule_rejected(fund_graph):
+    with pytest.raises(SyntaxError, match="whole"):
+        run_script(
+            "GraphStructure { (a:Account)-[t:transfer]->(b:Account) }\n"
+            "Rule { R1: group(a).asc(t.amount).limit(1) && t.amount > 5 }\n"
+            "Action { get(a.id) }",
+            fund_graph,
+        )
