@@ -912,3 +912,67 @@ def test_compound_group_rule_rejected(fund_graph):
             "Action { get(a.id) }",
             fund_graph,
         )
+
+
+def test_kgdsl_parser_fuzz_deterministic():
+    """Seeded fuzz over both GraphStructure syntaxes + rule/action
+    shapes: every generated script parses to the same AST twice, and
+    random token deletions raise only SyntaxError (never an internal
+    error)."""
+    import random
+
+    rng = random.Random(31)
+    node_lines = [
+        "    a [T, __start__='true']",
+        "    b [T]",
+        "    c [U, kind='x']",
+    ]
+    edge_lines = [
+        "    a -> b [r] as e0",
+        "    b -> c [r, s]",
+        "    a -> c [r] repeat(1,3) as e1",
+        "    b <-> c [s]",
+    ]
+    chain_lines = [
+        "    (a:T)-[e2:r]->(b)",
+        "    p9: (b)-[e3:s]-(c:U)",
+    ]
+    rules = [
+        "    R0: a.x == 1 && b.y != null",
+        "    R1(\"d\"): c.kind like 'x%'",
+        "    w = a.x * 2",
+        "    R2: e1.edges().constraint((pre, cur) => pre.ts <= cur.ts)",
+        "    R3: group(a).asc(b.y).limit(2)",
+    ]
+    actions = [
+        "    get(a.x, b.y as yy)",
+        "    get(a.x).as(v0(ax))",
+    ]
+    for _ in range(80):
+        gs = rng.sample(node_lines, rng.randrange(1, 3))
+        gs += rng.sample(edge_lines if rng.random() < 0.6 else chain_lines,
+                         rng.randrange(1, 3))
+        rl = rng.sample(rules, rng.randrange(0, 3))
+        ac = [rng.choice(actions)]
+        script = (
+            "GraphStructure {\n" + "\n".join(gs) + "\n}\n"
+            "Rule {\n" + "\n".join(rl) + "\n}\n"
+            "Action {\n" + "\n".join(ac) + "\n}\n"
+        )
+        try:
+            s1 = parse_script(script)
+            s2 = parse_script(script)
+        except SyntaxError:
+            continue  # sampled combo can be invalid (e.g. rule w/o alias)
+        assert len(s1) == len(s2) == 1
+        assert s1[0].query.nodes == s2[0].query.nodes
+        assert s1[0].query.edges == s2[0].query.edges
+        assert s1[0].filters == s2[0].filters
+        assert s1[0].gets == s2[0].gets
+        # mutation: delete one non-whitespace char; only SyntaxError ok
+        pos = rng.randrange(len(script))
+        mutated = script[:pos] + script[pos + 1 :]
+        try:
+            parse_script(mutated)
+        except (SyntaxError, ValueError):
+            pass  # rejected cleanly
