@@ -1,9 +1,15 @@
-"""spark-submit entry point: run a GQL pattern query against a catalog.
+"""spark-submit entry point: run a GQL pattern query OR a native KGDSL
+script against a catalog.
 
     spark-submit --py-files linkgraph.zip jobs/gql_job.py \\
         --catalog /path/catalog.json \\
         --query "MATCH (a:Page)-[e:links]->(b:Page) RETURN a.url AS src, count(*) AS n" \\
         [--out /path/out] [--show 20] [--explain]
+
+    # native dialect: GraphStructure{} Rule{} Action{} / Define scripts
+    spark-submit ... jobs/gql_job.py --catalog cat.json \\
+        --dsl-file rules.dsl [--param seed=7 --param pat=v1%] \\
+        [--ddl-out /path/store] [--out /path/out]
 
 The reference's primary lifecycle (DSL string -> parse -> plan ->
 execute, OpenSPGDslParser.scala:86-116) as a deployable job: the catalog
@@ -26,12 +32,31 @@ from pyspark.sql import SparkSession
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--catalog", required=True, help="catalog JSON file")
-    p.add_argument("--query", required=True, help="GQL MATCH ... RETURN ...")
+    p.add_argument("--query", default=None, help="GQL MATCH ... RETURN ...")
+    p.add_argument("--dsl-file", default=None,
+                   help="KGDSL script file (GraphStructure/Rule/Action, Define)")
+    p.add_argument("--param", action="append", default=[],
+                   help="name=value runtime binding (repeatable); numeric "
+                        "values auto-coerce")
     p.add_argument("--root", default=None, help="explicit traversal root alias")
     p.add_argument("--out", default=None, help="parquet output path")
+    p.add_argument("--ddl-out", default=None,
+                   help="TableStore root for Action DDL upserts (kgdsl)")
     p.add_argument("--show", type=int, default=0, help="print first N rows")
     p.add_argument("--explain", action="store_true", help="dump the physical plan")
     args = p.parse_args()
+    if (args.query is None) == (args.dsl_file is None):
+        p.error("exactly one of --query / --dsl-file is required")
+    params = {}
+    for kv in args.param:
+        k, _, v = kv.partition("=")
+        try:
+            params[k] = int(v)
+        except ValueError:
+            try:
+                params[k] = float(v)
+            except ValueError:
+                params[k] = v
 
     spark = SparkSession.builder.appName("linkgraph-gql").getOrCreate()
     from linkgraph.catalog import GraphCatalog
@@ -40,7 +65,29 @@ def main() -> None:
     with open(args.catalog) as f:
         cat = GraphCatalog(spark, json.load(f))
     t0 = time.monotonic()
-    df = compile_query(args.query, cat.property_graph(), root=args.root)
+    if args.dsl_file is not None:
+        from linkgraph.kgdsl import run_script
+
+        store = None
+        if args.ddl_out:
+            from linkgraph.tables import TableStore
+
+            store = TableStore(spark, args.ddl_out)
+        with open(args.dsl_file) as f:
+            res = run_script(f.read(), cat.property_graph(),
+                             params=params or None, store=store)
+        if res.table is None:
+            print(json.dumps({
+                "rows": 0,
+                "ddl_tables": sorted(res.ddl),
+                "wall_s": round(time.monotonic() - t0, 3),
+            }))
+            spark.stop()
+            return
+        df = res.table
+    else:
+        df = compile_query(args.query, cat.property_graph(), root=args.root,
+                           params=params or None)
     if args.explain:
         df.explain("formatted")
     if args.out:
