@@ -595,6 +595,75 @@ def _p4_gql_param_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _riskmining_graph(spark: SparkSession, sf_dir: str):
+    """Deterministic riskmining-shaped fixture from testdata: customers
+    as concept-tagged users, orders as concept-tagged apps, developed /
+    release edges from order ownership."""
+    from linkgraph.gql import PropertyGraph
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    users = cust.select(
+        F.col("c_custkey").alias("vid"),
+        F.col("c_name").alias("name"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("赌博App开发者"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit("赌博App老板"))
+        .otherwise(F.lit("普通用户"))
+        .alias("concept"),
+    )
+    apps = orders.select(
+        F.col("o_orderkey").alias("vid"),
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("赌博应用"))
+        .otherwise(F.lit("正常应用"))
+        .alias("concept"),
+    )
+    developed = orders.select(
+        F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst")
+    )
+    release = orders.select(
+        (F.col("o_custkey") + 7).alias("src"), F.col("o_orderkey").alias("dst")
+    )
+    return PropertyGraph(
+        {"RiskMining.TaxOfRiskUser": users, "RiskMining.TaxOfRiskApp": apps},
+        {"developed": developed, "release": release},
+    )
+
+
+def _p5_gql_dsl_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's shipped gambling_app.dsl shape, verbatim label
+    syntax (/root/reference/python/knext/knext/examples/riskmining/reasoner/gambling_app.dsl):
+    backquoted namespaced labels + /`concept` instance qualifiers
+    (KGDSL.g4:209-211, 842-845). Concept qualifiers lower to equality
+    conjuncts that pin the traversal seeds before any join."""
+    from linkgraph.gql import compile_query
+
+    g = _riskmining_graph(spark, sf_dir)
+    return compile_query(
+        "MATCH\n"
+        "    (u:`RiskMining.TaxOfRiskUser`/`赌博App开发者`)-[:developed]->"
+        "(app:`RiskMining.TaxOfRiskApp`/`赌博应用`),\n"
+        "    (b:`RiskMining.TaxOfRiskUser`/`赌博App老板`)-[:release]->(app)\n"
+        "RETURN u.name, b.name ,app.id",
+        g,
+    )
+
+
+def _p6_gql_label_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex label alternation (s:A|B) — label_expression
+    (KGDSL.g4:209-211) lowered to a unionByName of the label tables with
+    a source-label tag, mirroring the existing [e:A|B] relTypes set."""
+    from linkgraph.gql import compile_query
+
+    g = _riskmining_graph(spark, sf_dir)
+    return compile_query(
+        "MATCH (s:`RiskMining.TaxOfRiskUser`|`RiskMining.TaxOfRiskApp`) "
+        "WHERE s.concept like '赌博%' "
+        "RETURN s.label AS kind, count(*) AS n",
+        g,
+    )
+
+
 def _k1_kgdsl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KGDSL native dialect (KGDSL.g4:38 base_rule_define) — the
     road-DSL shape from LocalRunnerTest.java:44-55: GraphStructure
@@ -948,6 +1017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_gql_varlen": _p2_gql_varlen,
         "p3_gql_optional": _p3_gql_optional,
         "p4_gql_param_in_like": _p4_gql_param_in_like,
+        "p5_gql_dsl_labels": _p5_gql_dsl_labels,
+        "p6_gql_label_union": _p6_gql_label_union,
         "k1_kgdsl_filter": _k1_kgdsl_filter,
         "k2_kgdsl_define": _k2_kgdsl_define,
         "k3_kgdsl_ddl": _k3_kgdsl_ddl,
@@ -1712,6 +1783,48 @@ SELECT e.src AS a, e.dst AS b
 FROM edges e JOIN verts bv ON e.dst = bv.vid
 WHERE e.src IN (1, 2, 3, 4, 5) AND bv.name LIKE 'v1%'
   AND regexp_matches(bv.name, '[0-9]$')""",
+        "p5_gql_dsl_labels": """
+WITH users AS (
+  SELECT c_custkey AS vid, c_name AS name,
+         CASE c_custkey % 3 WHEN 0 THEN '赌博App开发者'
+                            WHEN 1 THEN '赌博App老板'
+                            ELSE '普通用户' END AS concept
+  FROM customer
+), apps AS (
+  SELECT o_orderkey AS vid, CAST(o_orderkey AS VARCHAR) AS id,
+         CASE WHEN o_orderkey % 2 = 0 THEN '赌博应用' ELSE '正常应用' END AS concept
+  FROM orders
+), dev_e AS (
+  SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+), rel_e AS (
+  SELECT o_custkey + 7 AS src, o_orderkey AS dst FROM orders
+)
+SELECT u.name AS u_name, b.name AS b_name, a.id AS app_id
+FROM users u
+JOIN dev_e d ON u.vid = d.src
+JOIN apps a ON d.dst = a.vid
+JOIN rel_e r ON r.dst = a.vid
+JOIN users b ON b.vid = r.src
+WHERE u.concept = '赌博App开发者' AND a.concept = '赌博应用'
+  AND b.concept = '赌博App老板'""",
+        "p6_gql_label_union": """
+WITH users AS (
+  SELECT c_custkey AS vid,
+         CASE c_custkey % 3 WHEN 0 THEN '赌博App开发者'
+                            WHEN 1 THEN '赌博App老板'
+                            ELSE '普通用户' END AS concept
+  FROM customer
+), apps AS (
+  SELECT o_orderkey AS vid,
+         CASE WHEN o_orderkey % 2 = 0 THEN '赌博应用' ELSE '正常应用' END AS concept
+  FROM orders
+), tagged AS (
+  SELECT vid, concept, 'RiskMining.TaxOfRiskUser' AS label FROM users
+  UNION ALL
+  SELECT vid, concept, 'RiskMining.TaxOfRiskApp' AS label FROM apps
+)
+SELECT label AS kind, COUNT(*) AS n FROM tagged
+WHERE concept LIKE '赌博%' GROUP BY label""",
         "k1_kgdsl_filter": f"""
 WITH edges AS ({EDGES_SQL}),
 verts AS ({_NAMED_VERTS_SQL})

@@ -12,11 +12,20 @@ Reference parity (the reference's primary entry point is a DSL string):
 Supported surface:
 
     MATCH (a:Label)-[e:TYPE]->(b), (b)<-[f:TYPE2]-(c),
-          (a)-[g:TYPE*1..3]->(d)
+          (a)-[g:TYPE*1..3]->(d),
+          (x:Ns.Dotted|Other)-[:t]->(y:`Back.Quoted`/`concept instance`)
     WHERE a.prop = 5 AND e.ts < f.ts AND NOT b.flag <> 'x'
     RETURN [DISTINCT] a.prop AS x, count(*) AS n, e.ts AS t
     ORDER BY n DESC, x ASC
     LIMIT 10
+
+Labels/rel types may be dotted/namespaced (label_name, KGDSL.g4:211),
+backquoted (EscapedSymbolicName, KGDSL.g4:842-845 — required for
+non-identifier characters), alternated with ``|`` (label_expression),
+and concept-qualified with ``/`instance``` (lowered to an equality on
+the vertex's ``concept`` property, the belongTo instance-of shape) —
+this is the full node surface of the reference's shipped example
+``.dsl`` files (riskmining/supplychain/tests).
 
 Aggregates in RETURN trigger implicit grouping by the non-aggregate
 items (GQL semantics). Everything lowers to plain DataFrame joins /
@@ -54,7 +63,9 @@ class PropertyGraph:
     vertices: dict[str, DataFrame]
     edges: dict[str, DataFrame]
 
-    def vertex_table(self, label: str | None) -> DataFrame:
+    def vertex_table(self, label: str | tuple | None) -> DataFrame:
+        if isinstance(label, tuple):  # (a:A|B) — label_expression alternation
+            return _union_label_tables(self.vertices, label, "label")
         if label is not None:
             return self.vertices[label]
         if len(self.vertices) != 1:
@@ -63,21 +74,29 @@ class PropertyGraph:
 
     def edge_table(self, rel: str | tuple | None) -> DataFrame:
         if isinstance(rel, tuple):  # [e:A|B] — relTypes set (KGDSL parity)
-            dfs = [self.edges[r] for r in rel]
-            common = [c for c in dfs[0].columns if all(c in d.columns for d in dfs)]
-            parts = [
-                d.select(*common, F.lit(r).alias("rel_type"))
-                for r, d in zip(rel, dfs)
-            ]
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            return out
+            return _union_label_tables(self.edges, rel, "rel_type")
         if rel is not None:
             return self.edges[rel]
         if len(self.edges) != 1:
             raise ValueError("untyped edge but multiple edge tables")
         return next(iter(self.edges.values()))
+
+
+def _union_label_tables(
+    tables: dict[str, DataFrame], names: tuple, tag_col: str
+) -> DataFrame:
+    """Union the common columns of several label/rel tables, tagging each
+    row with its source label (label_expression ``A|B`` — KGDSL.g4:209-211;
+    same lowering for vertex alternation as the existing relTypes set)."""
+    dfs = [tables[n] for n in names]
+    common = [c for c in dfs[0].columns if all(c in d.columns for d in dfs)]
+    parts = [
+        d.select(*common, F.lit(n).alias(tag_col)) for n, d in zip(names, dfs)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -88,7 +107,7 @@ class PropertyGraph:
 @dataclass(frozen=True)
 class NodePat:
     alias: str
-    label: str | None = None
+    label: str | tuple | None = None  # tuple = label alternation (a:A|B)
 
 
 @dataclass(frozen=True)
@@ -130,8 +149,9 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
       (?P<num>\d+(?:\.\d+)?)
     | (?P<str>'[^']*')
-    | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<bq>(?:`[^`]*`)+)
+    | (?P<param>\$[^\W\d]\w*)
+    | (?P<name>[^\W\d]\w*)
     | (?P<op><-|->|<>|<=|>=|\.\.|[()\[\],:\-.*<>=+/%|])
     )""",
     re.X,
@@ -160,6 +180,11 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
             out.append(("param", m.group("param")[1:]))
         elif m.lastgroup == "str":
             out.append(("str", m.group("str")[1:-1]))
+        elif m.lastgroup == "bq":
+            # backquoted symbolic name — adjacent segments concatenate
+            # (KGDSL.g4:842-845 ``( '`' EscapedSymbolicName_0* '`' )+``);
+            # never a keyword, may hold dots/unicode (`RiskMining.TaxOfRiskUser`)
+            out.append(("name", "".join(re.findall(r"`([^`]*)`", m.group("bq")))))
         elif m.lastgroup == "name":
             name = m.group("name")
             if name.lower() in _KEYWORDS:
@@ -181,6 +206,10 @@ class _Parser:
     def __init__(self, text: str):
         self.toks = _tokenize(text)
         self.i = 0
+        # instance-of conjuncts from (u:Label/`concept`) qualifiers,
+        # ANDed into WHERE after parsing (same lowering as kgdsl.py's
+        # GraphStructure node concept qualifiers)
+        self.concept_filters: list = []
 
     def peek(self):
         return self.toks[self.i]
@@ -234,7 +263,18 @@ class _Parser:
         if self.accept("kw", "limit"):
             q.limit = int(self.expect("num")[1])
         self.expect("eof")
+        for c in self.concept_filters:
+            q.where = c if q.where is None else ("bin", "and", q.where, c)
         return q
+
+    def _label_name(self) -> str:
+        """Possibly dotted/namespaced label (``SupplyChain.Company`` —
+        label_name, KGDSL.g4:211); backquoted segments tokenize as one
+        name and may already contain dots."""
+        parts = [self.expect("name")[1]]
+        while self.accept("op", "."):
+            parts.append(self.expect("name")[1])
+        return ".".join(parts)
 
     # ---- patterns ------------------------------------------------------
     def _pattern_chain(self, q: Query):
@@ -247,9 +287,9 @@ class _Parser:
                 if self.peek()[0] == "name":
                     alias = self.next()[1]
                 if self.accept("op", ":"):
-                    rels = [self.expect("name")[1]]
+                    rels = [self._label_name()]
                     while self.accept("op", "|"):
-                        rels.append(self.expect("name")[1])
+                        rels.append(self._label_name())
                     rel = rels[0] if len(rels) == 1 else tuple(rels)
                 if self.accept("op", "*"):
                     lower = int(self.expect("num")[1])
@@ -284,7 +324,19 @@ class _Parser:
         alias = self.expect("name")[1]
         label = None
         if self.accept("op", ":"):
-            label = self.expect("name")[1]
+            labels = [self._label_name()]
+            while self.accept("op", "|"):  # label alternation (a:A|B)
+                labels.append(self._label_name())
+            label = labels[0] if len(labels) == 1 else tuple(labels)
+            if self.accept("op", "/"):
+                # concept-qualified label (u:`Type`/`instance`) — the
+                # instance-of constraint the reference resolves via
+                # belongTo; lowers to an equality on the vertex's
+                # ``concept`` property, exactly like kgdsl.py nodes
+                instance = self.expect("name")[1]
+                self.concept_filters.append(
+                    ("bin", "=", ("ref", alias, "concept"), ("lit", instance))
+                )
         self.expect("op", ")")
         if any(ep.alias == alias for ep in q.edges):
             raise SyntaxError(f"node alias {alias!r} collides with an edge alias")

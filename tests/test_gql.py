@@ -451,3 +451,103 @@ def test_cross_join_warns(g):
         ).count()
     assert n == 36  # 6 edges x 6 edges — the product is real
     assert any("cartesian" in str(w.message) for w in caught)
+
+
+# ---------------------------------------------------------------------------
+# shipped-.dsl label surface: backquoted / dotted / concept-qualified /
+# alternated labels (KGDSL.g4:209-211, 842-845)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_dotted_backquoted_concept_labels():
+    q = parse(
+        "MATCH (u:`Risk.User`/`赌博App开发者`)-[:developed]->(app:Risk.App) "
+        "RETURN u.name, app.id"
+    )
+    assert q.nodes["u"].label == "Risk.User"
+    assert q.nodes["app"].label == "Risk.App"
+    assert q.edges[0].rel == "developed"
+    # concept qualifier lowers to an equality conjunct on alias.concept
+    assert q.where == (
+        "bin", "=", ("ref", "u", "concept"), ("lit", "赌博App开发者")
+    )
+    # adjacent backquoted segments concatenate (KGDSL.g4:842-845)
+    q2 = parse("MATCH (a:`Foo``Bar`) RETURN a.vid")
+    assert q2.nodes["a"].label == "FooBar"
+
+
+def test_parse_label_alternation():
+    q = parse("MATCH (a:A|Ns.B)-[e:X|Y]->(b) RETURN a.vid AS v")
+    assert q.nodes["a"].label == ("A", "Ns.B")
+    assert q.edges[0].rel == ("X", "Y")
+
+
+def test_parse_reference_shipped_dsl_files():
+    """Every .dsl file the reference ships must parse (riskmining
+    gambling_app.dsl, supplychain x2, tests demo.dsl)."""
+    import glob
+
+    files = glob.glob(
+        "/root/reference/python/knext/**/*.dsl", recursive=True
+    )
+    if not files:
+        pytest.skip("reference checkout not present")
+    assert len(files) >= 4
+    for f in files:
+        q = parse(open(f).read())
+        assert q.nodes and q.returns
+
+
+def test_concept_qualified_compile(spark):
+    """gambling_app.dsl end-to-end on a fixture graph: concept-qualified
+    users develop/release apps; only the right (developer, boss) pairs
+    survive the instance-of conjuncts."""
+    users = spark.createDataFrame(
+        [(1, "dev1", "赌博App开发者"), (2, "boss1", "赌博App老板"),
+         (3, "dev2", "赌博App开发者"), (4, "other", "普通用户")],
+        "vid bigint, name string, concept string",
+    )
+    apps = spark.createDataFrame(
+        [(10, "appA", "赌博应用"), (11, "appB", "正常应用")],
+        "vid bigint, id string, concept string",
+    )
+    g2 = PropertyGraph(
+        {"RiskMining.TaxOfRiskUser": users, "RiskMining.TaxOfRiskApp": apps},
+        {
+            "developed": spark.createDataFrame(
+                [(1, 10), (3, 11), (4, 10)], "src bigint, dst bigint"
+            ),
+            "release": spark.createDataFrame(
+                [(2, 10), (2, 11)], "src bigint, dst bigint"
+            ),
+        },
+    )
+    dsl = (
+        "MATCH (u:`RiskMining.TaxOfRiskUser`/`赌博App开发者`)"
+        "-[:developed]->(app:`RiskMining.TaxOfRiskApp`/`赌博应用`), "
+        "(b:`RiskMining.TaxOfRiskUser`/`赌博App老板`)-[:release]->(app) "
+        "RETURN u.name, b.name, app.id"
+    )
+    rows = compile_query(dsl, g2).collect()
+    assert [(r["u_name"], r["b_name"], r["app_id"]) for r in rows] == [
+        ("dev1", "boss1", "appA")
+    ]
+
+
+def test_label_alternation_compile(spark):
+    """(a:A|B) unions the two label tables (common columns) and tags each
+    row with its source label."""
+    a = spark.createDataFrame([(1, "x")], "vid bigint, name string")
+    b = spark.createDataFrame([(2, "y")], "vid bigint, name string")
+    g2 = PropertyGraph(
+        {"A": a, "B": b},
+        {"E": spark.createDataFrame([(1, 2)], "src bigint, dst bigint")},
+    )
+    rows = compile_query(
+        "MATCH (s:A|B)-[]->(o:A|B) "
+        "RETURN s.name AS sn, s.label AS sl, o.name AS on, o.label AS ol",
+        g2,
+    ).collect()
+    assert [(r["sn"], r["sl"], r["on"], r["ol"]) for r in rows] == [
+        ("x", "A", "y", "B")
+    ]
