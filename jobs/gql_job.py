@@ -36,8 +36,11 @@ def main() -> None:
     p.add_argument("--dsl-file", default=None,
                    help="KGDSL script file (GraphStructure/Rule/Action, Define)")
     p.add_argument("--param", action="append", default=[],
-                   help="name=value runtime binding (repeatable); numeric "
-                        "values auto-coerce")
+                   help="name=value runtime binding (repeatable); values "
+                        "coerce to int/float only when they round-trip "
+                        "exactly ('007' and '1e3' stay strings)")
+    p.add_argument("--param-str", action="append", default=[],
+                   help="name=value runtime binding, always kept a string")
     p.add_argument("--root", default=None, help="explicit traversal root alias")
     p.add_argument("--out", default=None, help="parquet output path")
     p.add_argument("--ddl-out", default=None,
@@ -50,13 +53,25 @@ def main() -> None:
     params = {}
     for kv in args.param:
         k, _, v = kv.partition("=")
+        # coerce only on an exact round-trip: a string-typed id that
+        # merely looks numeric ('007', '1e3') must stay a string, or an
+        # equality against a string column silently matches nothing
         try:
-            params[k] = int(v)
+            if str(int(v)) == v:
+                params[k] = int(v)
+                continue
         except ValueError:
-            try:
+            pass
+        try:
+            if str(float(v)) == v:
                 params[k] = float(v)
-            except ValueError:
-                params[k] = v
+                continue
+        except ValueError:
+            pass
+        params[k] = v
+    for kv in args.param_str:
+        k, _, v = kv.partition("=")
+        params[k] = v
 
     spark = SparkSession.builder.appName("linkgraph-gql").getOrCreate()
     from linkgraph.catalog import GraphCatalog

@@ -87,7 +87,8 @@ _TOKEN_RE = re.compile(
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
-    """KGDSL tokens, normalized onto gql's kinds: ``==``->``=``,
+    """KGDSL tokens, normalized onto gql's kinds: ``==`` stays distinct
+    (assignment vs comparison — _ExprParser folds it to ``=``),
     ``!=``->``<>``, ``&&``/``||``/``!`` -> and/or/not keywords, both
     quote styles -> str, backquoted names -> name. Newlines are kept as
     ('nl','') — they terminate rule/action statements."""
@@ -125,7 +126,12 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         else:
             op = m.group("op")
             if op == "==":
-                out.append(("op", "="))
+                # kept distinct from '=': the grammar separates assignment
+                # (project_rule_expression, KGDSL.g4:241) from comparison —
+                # `u.amount == 100` must never classify as a property
+                # assignment. _ExprParser normalizes '==' -> '=' inside
+                # expression bodies.
+                out.append(("op", "=="))
             elif op == "!=":
                 out.append(("op", "<>"))
             elif op == "&&":
@@ -271,7 +277,10 @@ class _ExprParser(gql._Parser):
     (one token here, alias '.' prop in gql)."""
 
     def __init__(self, toks: list[tuple[str, str]]):
-        self.toks = toks
+        # '==' is kept distinct by the tokenizer so rule-line
+        # classification can tell comparison from assignment; inside an
+        # expression body both mean equality (gql AST uses '=')
+        self.toks = [("op", "=") if t == ("op", "==") else t for t in toks]
         self.i = 0
 
     def _primary(self):
@@ -772,6 +781,12 @@ class _ScriptParser:
                 else:
                     stmt.lets[target] = ex
                 continue
+            if any(t == ("op", "==") for t in line):
+                raise SyntaxError(
+                    "a comparison rule line must be named — write "
+                    f"`R1: {' '.join(t[1] for t in line)}` "
+                    "(logic_rule_expression, KGDSL.g4:243)"
+                )
             raise SyntaxError(f"cannot parse rule line: {line}")
 
     @staticmethod
@@ -1041,7 +1056,15 @@ def _toposort(stmts: list[Statement]) -> list[Statement]:
     produced: dict[str, int] = {}
     for i, s in enumerate(stmts):
         for p in s.produced:
-            produced.setdefault(p, i)
+            if p in produced:
+                # two producers of one type would silently order against
+                # the first — fail loudly instead
+                raise ValueError(
+                    f"two statements produce {p!r} (statements "
+                    f"{produced[p] + 1} and {i + 1}); each edge/property "
+                    "type may have exactly one Define/DDL producer"
+                )
+            produced[p] = i
     deps: dict[int, set[int]] = {
         i: {
             produced[c]
@@ -1275,6 +1298,17 @@ def _run_define(
     return head.pred, out
 
 
+def _collapse_key(df: DataFrame, keys: list[str]) -> DataFrame:
+    """One row per key with deterministic property values (F.min), the
+    same collapse rule _run_define uses — dropDuplicates would pick an
+    arbitrary row's values when a value= expression depends on other
+    pattern aliases, making graph/TableStore contents nondeterministic."""
+    props = [c for c in df.columns if c not in keys]
+    if not props:
+        return df.distinct()
+    return df.groupBy(*keys).agg(*[F.min(p).alias(p) for p in props])
+
+
 def _run_action_ddl(
     stmt: Statement, df: DataFrame, graph: gql.PropertyGraph
 ) -> dict[str, tuple[str, DataFrame]]:
@@ -1296,7 +1330,7 @@ def _run_action_ddl(
                 f"createNodeInstance(type={ni.type}) needs an id= entry"
             )
         vid = F.xxhash64(id_expr.cast("string"))
-        nd = df.select(vid.alias("vid"), *exprs).dropDuplicates(["vid"])
+        nd = _collapse_key(df.select(vid.alias("vid"), *exprs), ["vid"])
         ddl[ni.type] = ("vertex", nd)
         graph.vertices[ni.type] = (
             graph.vertices[ni.type].unionByName(nd, allowMissingColumns=True)
@@ -1318,9 +1352,14 @@ def _run_action_ddl(
             return F.col(col)
 
         exprs = [gql._compile_expr(ex, cols).alias(p) for p, ex in ei.value]
-        ed = df.select(
-            endpoint(ei.src).alias("src"), endpoint(ei.dst).alias("dst"), *exprs
-        ).dropDuplicates(["src", "dst"])
+        ed = _collapse_key(
+            df.select(
+                endpoint(ei.src).alias("src"),
+                endpoint(ei.dst).alias("dst"),
+                *exprs,
+            ),
+            ["src", "dst"],
+        )
         ddl[ei.type] = ("edge", ed)
         graph.edges[ei.type] = (
             graph.edges[ei.type].unionByName(ed, allowMissingColumns=True)

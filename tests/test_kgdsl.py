@@ -421,9 +421,10 @@ Define (s:Account)-[p:flag2]->(o:Boolean) {
 
 
 def test_unnamed_filter_line_rejected_loudly(fund_graph):
-    # `t.amount == 100` normalizes to `t.amount = 100` (an assignment):
-    # silently dropping it would un-filter the query — must raise
-    with pytest.raises(ValueError, match="named rule"):
+    # `t.amount == 100` is a comparison, not an assignment — the
+    # tokenizer keeps `==` distinct so this is rejected at parse time
+    # (silently dropping it would un-filter the query)
+    with pytest.raises(SyntaxError, match="must be named"):
         run_script(
             "GraphStructure { (a:Account)-[t:transfer]->(b:Account) }\n"
             "Rule { t.amount == 100 }\nAction { get(a.id) }",
@@ -976,3 +977,79 @@ def test_kgdsl_parser_fuzz_deterministic():
             parse_script(mutated)
         except (SyntaxError, ValueError):
             pass  # rejected cleanly
+
+
+def test_define_unnamed_comparison_rejected(fund_graph):
+    # ADVICE r3: inside a Define, `a.amount == 100` used to classify as
+    # a property assignment targeting a non-predicate alias and was
+    # silently dropped — must be a parse error now
+    with pytest.raises(SyntaxError, match="must be named"):
+        run_script(
+            """
+Define (s:Account)-[p:flagged]->(o:Int) {
+    GraphStructure { (s)-[t:transfer]->(b:Account) }
+    Rule {
+        t.amount == 100
+        o = group(s).count(t.amount)
+    }
+}
+GraphStructure { (s:Account) }
+Rule { R0: s.flagged > 0 }
+Action { get(s.id) }
+""",
+            fund_graph,
+        )
+
+
+def test_duplicate_producer_rejected(fund_graph):
+    # two Defines producing the same property type must fail loudly,
+    # not silently topo-order against the first
+    script = """
+Define (s:Account)-[p:deg]->(o:Int) {
+    GraphStructure { (s)-[t:transfer]->(b:Account) }
+    Rule { o = group(s).count(t.amount) }
+}
+Define (s:Account)-[p:deg]->(o:Int) {
+    GraphStructure { (s)<-[t:transfer]-(b:Account) }
+    Rule { o = group(s).count(t.amount) }
+}
+GraphStructure { (s:Account) }
+Rule { R0: s.deg > 0 }
+Action { get(s.id, s.deg) }
+"""
+    with pytest.raises(ValueError, match="two statements produce 'deg'"):
+        run_script(script, fund_graph)
+
+
+def test_action_ddl_collapse_deterministic(fund_graph):
+    # a created node whose value= depends on another pattern alias used
+    # to take an arbitrary matching row's value (dropDuplicates) — now
+    # collapses with F.min like _run_define
+    script = """
+GraphStructure { (a:Account)-[t:transfer]->(b:Account) }
+Rule { }
+Action {
+    ev = createNodeInstance(
+        type=Flag,
+        value={
+            id = a.id
+            first_peer = b.id
+        }
+    )
+    get(a.id)
+}
+"""
+    vals = set()
+    for _ in range(3):
+        res = run_script(script, fund_graph)
+        nd = res.graph.vertices["Flag"]
+        vals.add(
+            tuple(sorted((r["id"], r["first_peer"]) for r in nd.collect()))
+        )
+    assert len(vals) == 1
+    # acc1 transfers to acc2 and acc3 -> deterministic min is acc2
+    got = dict(
+        (r["id"], r["first_peer"])
+        for r in run_script(script, fund_graph).graph.vertices["Flag"].collect()
+    )
+    assert got["acc1"] == "acc2"
