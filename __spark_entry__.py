@@ -856,6 +856,73 @@ def _t1_thinker_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _customer_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (s, p, o) fact table from customer: typing,
+    market-segment concept tags, and an acctbal property."""
+    cust = load_table(spark, sf_dir, "customer")
+    s = F.col("c_custkey").cast("string").alias("s")
+    return (
+        cust.select(s, F.lit("type").alias("p"), F.lit("Customer").alias("o"))
+        .unionByName(
+            cust.select(
+                s,
+                F.lit("belongTo").alias("p"),
+                F.concat(F.lit("Seg/"), F.col("c_mktsegment")).alias("o"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                s,
+                F.lit("acctbal").alias("p"),
+                F.col("c_acctbal").cast("double").cast("string").alias("o"),
+            )
+        )
+    )
+
+
+_THINKER_SCRIPT = """
+Define (Risk/`high`) {
+  R1: Seg/`BUILDING` and acctbal >= 5000
+}
+Define (Risk/`watch`) {
+  R1: acctbal >= 9000
+}
+Define (Flag/`review`) {
+  R1: Risk/`high`
+}
+"""
+
+
+def _t2_thinker_concept_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's thinker concept-rule surface syntax
+    (define_rule_on_concept, KGDSL.g4:960-998; SimplifyThinkerParser)
+    run end-to-end: Flag/`review` consumes Risk/`high`'s derived facts,
+    so the result proves the forward fixpoint, not a single pass."""
+    from linkgraph.thinker_dsl import run_thinker
+
+    closure = run_thinker(_THINKER_SCRIPT, _customer_triples(spark, sf_dir))
+    return closure.where(
+        (F.col("p") == "belongTo")
+        & (F.col("o").startswith("Risk/") | F.col("o").startswith("Flag/"))
+    ).select(F.col("s").cast("bigint").alias("custkey"), F.col("o").alias("concept"))
+
+
+def _t3_thinker_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DefinePriority (define_proiority_rule_on_concept): each subject
+    keeps its highest-priority derived concept of the type."""
+    from linkgraph.thinker_dsl import apply_priority, infer_thinker, parse_thinker
+
+    rules = parse_thinker(
+        _THINKER_SCRIPT
+        + "DefinePriority(Risk) {\n  high = 100\n  watch = 10\n}\n"
+    )
+    closure = infer_thinker(_customer_triples(spark, sf_dir), rules)
+    pri = next(r for r in rules if type(r).__name__ == "PriorityRule")
+    return apply_priority(closure, pri).select(
+        F.col("s").cast("bigint").alias("custkey"), "concept", "priority"
+    )
+
+
 # ---------------------------------------------------------------------------
 # documents / embeddings (training-data pipeline ops)
 # ---------------------------------------------------------------------------
@@ -1025,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k4_kgdsl_finbench": _k4_kgdsl_finbench,
         "k5_kgdsl_group_topk": _k5_kgdsl_group_topk,
         "t1_thinker_reach": _t1_thinker_reach,
+        "t2_thinker_concept_rule": _t2_thinker_concept_rule,
+        "t3_thinker_priority": _t3_thinker_priority,
         "c1_concept_expand": _c1_concept_expand,
         "d_exact_dedup": _d_exact_dedup,
         "d_text_stats": _d_text_stats,
@@ -1866,6 +1935,31 @@ reach(s, o) AS (
   SELECT e.src, reach.o FROM e JOIN reach ON e.dst = reach.s
 )
 SELECT s AS src, COUNT(*) AS n_reach FROM reach GROUP BY s""",
+        "t2_thinker_concept_rule": """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer
+),
+high AS (SELECT k FROM base WHERE seg = 'BUILDING' AND bal >= 5000),
+watch AS (SELECT k FROM base WHERE bal >= 9000)
+SELECT k AS custkey, 'Risk/high' AS concept FROM high
+UNION ALL
+SELECT k, 'Risk/watch' FROM watch
+UNION ALL
+SELECT k, 'Flag/review' FROM high""",
+        "t3_thinker_priority": """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer
+),
+high AS (SELECT k FROM base WHERE seg = 'BUILDING' AND bal >= 5000),
+watch AS (SELECT k FROM base WHERE bal >= 9000)
+SELECT k AS custkey,
+       CASE WHEN k IN (SELECT k FROM high) THEN 'Risk/high' ELSE 'Risk/watch' END AS concept,
+       CASE WHEN k IN (SELECT k FROM high) THEN 100 ELSE 10 END AS priority
+FROM (SELECT k FROM high UNION SELECT k FROM watch) t""",
         "c1_concept_expand": """
 SELECT entity, concept FROM (
   SELECT p_partkey AS entity, p_brand AS concept FROM part

@@ -402,7 +402,7 @@ class _Parser:
                 # $param bound to a Python list at compile time
                 if opener[0] == "param":
                     return ("in", left, ("param", opener[1]))
-                raise SyntaxError(f"IN needs a literal list or $param, got {opener}")
+                return ("in", left, self._in_operand(opener))
             closer = ")" if opener == ("op", "(") else "]"
             items = [self._add()]
             while self.accept("op", ","):
@@ -413,6 +413,11 @@ class _Parser:
             self.next()
             return ("bin", t[1], left, self._add())
         return left
+
+    def _in_operand(self, opener):
+        """Non-list, non-$param IN right side — dialects may override
+        (the thinker dialect's ``"lit" in prop`` membership form)."""
+        raise SyntaxError(f"IN needs a literal list or $param, got {opener}")
 
     def _add(self):
         left = self._mul()
