@@ -779,6 +779,34 @@ Action { get(a.vid, b.vid, n) }
     return res.table
 
 
+def _k6_kgdsl_edge_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-DSL inline edge property constraint + multi-vertex
+    declaration (define_one_edge / define_multiple_vertex,
+    KGDSL.g4:113-160): `a, b [V]` declares both aliases, and the
+    `[E, w=3]` equality filters the edge table before the join (pushed
+    into the scan)."""
+    from linkgraph.gql import PropertyGraph
+    from linkgraph.kgdsl import run_script
+
+    e = _edges(spark, sf_dir).withColumn(
+        "w", (F.col("src") + F.col("dst")) % 7
+    )
+    v = e.select(F.col("src").alias("vid")).union(e.select("dst")).distinct()
+    g = PropertyGraph({"V": v}, {"E": e})
+    res = run_script(
+        """
+GraphStructure {
+    a, b [V]
+    a -> b [E, w=3] as t
+}
+Rule { R0: a.vid < 50 }
+Action { get(a.vid, b.vid) }
+""",
+        g,
+    )
+    return res.table
+
+
 def _k5_kgdsl_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OrderAndSlice as a KGDSL Rule
     (group(a).desc(b.vid).limit(2) — KgReasonerTopKFilmTest.java:85
@@ -1091,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k3_kgdsl_ddl": _k3_kgdsl_ddl,
         "k4_kgdsl_finbench": _k4_kgdsl_finbench,
         "k5_kgdsl_group_topk": _k5_kgdsl_group_topk,
+        "k6_kgdsl_edge_props": _k6_kgdsl_edge_props,
         "t1_thinker_reach": _t1_thinker_reach,
         "t2_thinker_concept_rule": _t2_thinker_concept_rule,
         "t3_thinker_priority": _t3_thinker_priority,
@@ -1924,6 +1953,10 @@ ranked AS (
   FROM edges
 )
 SELECT src AS a_vid, dst AS b_vid FROM ranked WHERE rn <= 2""",
+        "k6_kgdsl_edge_props": f"""
+WITH edges AS ({EDGES_SQL})
+SELECT src AS a_vid, dst AS b_vid FROM edges
+WHERE (src + dst) % 7 = 3 AND src < 50""",
         "t1_thinker_reach": """
 WITH RECURSIVE e AS (
   SELECT DISTINCT l_orderkey % 211 AS src, l_partkey % 211 AS dst

@@ -123,6 +123,12 @@ class EdgePat:
     upper: int | None = None
     undirected: bool = False  # (a)-[e]-(b): Direction.BOTH
     limit: int | None = None  # per-source fanout cap (PatternConnection.limit)
+    # inline equality constraints on edge properties (the arrow-DSL
+    # `a -> b [type, key=value]` form, label_property_list KGDSL.g4:158):
+    # filtered onto the edge table BEFORE the join/expansion, so a
+    # var-len walk applies them per hop and Catalyst pushes them into
+    # the scan
+    props: tuple = ()
 
     @property
     def is_varlen(self) -> bool:
@@ -1022,6 +1028,8 @@ def _join_edge(
     varlen_constraints: dict | None = None,
 ) -> DataFrame:
     edf = graph.edge_table(e.rel)
+    for k, v in e.props:
+        edf = edf.where(F.col(k) == F.lit(v))
     if e.undirected:  # Direction.BOTH: traverse either orientation
         props = [c for c in edf.columns if c not in ("src", "dst")]
         edf = edf.unionByName(

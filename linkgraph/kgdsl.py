@@ -652,6 +652,33 @@ class _ScriptParser:
                 #   a -> b [type1, type2] repeat(1,3) as e   (also <->)
                 self._parse_arrow_line(stmt, line)
 
+    def _parse_bracket_list(self, p):
+        """``[Label[, Label2...][, key=value...]]`` (label_property_list,
+        KGDSL.g4:158-161): leading names are labels/types until the
+        first ``key=value`` pair. Returns (labels, [(key, lit_value)])."""
+        labels: list[str] = []
+        props: list[tuple] = []
+        first = True
+        while first or p.accept("op", ","):
+            first = False
+            name = p.expect("name")[1]
+            if p.accept("op", "="):
+                val = p._primary()
+                if val[0] != "lit":
+                    raise SyntaxError(
+                        f"property constraint {name} needs a literal"
+                    )
+                props.append((name, val[1]))
+            elif props:
+                raise SyntaxError(
+                    f"label {name!r} after a key=value pair "
+                    "(labels come first in a [...] list)"
+                )
+            else:
+                labels.append(name)
+        p.expect("op", "]")
+        return labels, props
+
     def _parse_arrow_line(self, stmt: Statement, line) -> None:
         p = _ExprParser(list(line) + [("eof", "")])
         left = p.expect("name")[1]
@@ -659,30 +686,36 @@ class _ScriptParser:
             raise SyntaxError(f"bad pattern alias {left!r}")
         stmt.body_aliases.add(left)
         t = p.peek()
-        if t == ("op", "[") or t[0] == "eof":
-            # node declaration with optional label + property constraints
+        if t in (("op", "["), ("op", ",")) or t[0] == "eof":
+            # (multi-)vertex declaration: `a [Label, k=v]` /
+            # `a, b [Label]` (define_multiple_vertex, KGDSL.g4:147-151)
+            aliases = [left]
+            while p.accept("op", ","):
+                a = p.expect("name")[1]
+                if "." in a:
+                    raise SyntaxError(f"bad pattern alias {a!r}")
+                stmt.body_aliases.add(a)
+                aliases.append(a)
             label = None
+            props: list[tuple] = []
             if p.accept("op", "["):
-                label = p.expect("name")[1]
-                while p.accept("op", ","):
-                    key = p.expect("name")[1]
-                    p.expect("op", "=")
-                    val = p._primary()
-                    if val[0] != "lit":
-                        raise SyntaxError(
-                            f"node property constraint {key} needs a literal"
-                        )
+                labels, props = self._parse_bracket_list(p)
+                if len(labels) == 1:
+                    label = labels[0]
+                elif labels:  # label alternation, same lowering as (a:A|B)
+                    label = tuple(labels)
+            for alias in aliases:
+                for key, val in props:
                     if key == "__start__":
-                        if str(val[1]).lower() == "true":
-                            stmt.root = left  # START_ALIAS analog
+                        if str(val).lower() == "true":
+                            stmt.root = alias  # START_ALIAS analog
                     else:
                         stmt.filters.append(
-                            ("bin", "=", ("ref", left, key), val)
+                            ("bin", "=", ("ref", alias, key), ("lit", val))
                         )
-                p.expect("op", "]")
-            prev = stmt.query.nodes.get(left)
-            if prev is None or (prev.label is None and label is not None):
-                stmt.query.nodes[left] = gql.NodePat(left, label)
+                prev = stmt.query.nodes.get(alias)
+                if prev is None or (prev.label is None and label is not None):
+                    stmt.query.nodes[alias] = gql.NodePat(alias, label)
             if p.peek()[0] != "eof":
                 raise SyntaxError(f"trailing tokens in node line: {p.peek()}")
             return
@@ -693,12 +726,15 @@ class _ScriptParser:
         right = p.expect("name")[1]
         stmt.body_aliases.add(right)
         rel = None
+        eprops: tuple = ()
         if p.accept("op", "["):
-            rels = [p.expect("name")[1]]
-            while p.accept("op", ","):
-                rels.append(p.expect("name")[1])
-            p.expect("op", "]")
+            # `[type1, type2, key=value...]` — types then inline edge
+            # property constraints (define_one_edge, KGDSL.g4:117-119)
+            rels, props = self._parse_bracket_list(p)
+            if not rels:
+                raise SyntaxError("edge [...] list needs at least one type")
             rel = rels[0] if len(rels) == 1 else tuple(rels)
+            eprops = tuple(props)
         lower = upper = None
         if p.peek() == ("name", "repeat"):
             p.next()
@@ -718,7 +754,9 @@ class _ScriptParser:
         for a in (src, dst):
             stmt.query.nodes.setdefault(a, gql.NodePat(a, None))
         stmt.query.edges.append(
-            gql.EdgePat(src, dst, alias, rel, lower, upper, undirected)
+            gql.EdgePat(
+                src, dst, alias, rel, lower, upper, undirected, props=eprops
+            )
         )
 
     def _parse_rule(self, stmt: Statement, toks) -> None:

@@ -1053,3 +1053,75 @@ Action {
         for r in run_script(script, fund_graph).graph.vertices["Flag"].collect()
     )
     assert got["acc1"] == "acc2"
+
+
+def test_parse_arrow_multi_vertex_and_edge_props_golden():
+    stmts = parse_script(
+        """
+GraphStructure {
+    a, b [Account]
+    a -> b [transfer, transDate=20240105] repeat(1,2) as e
+}
+Rule { }
+Action { get(a.id, b.id) }
+"""
+    )
+    s = stmts[0]
+    assert s.query.nodes["a"].label == "Account"
+    assert s.query.nodes["b"].label == "Account"
+    (e,) = s.query.edges
+    assert e.rel == "transfer" and (e.lower, e.upper) == (1, 2)
+    assert e.props == (("transDate", 20240105),)
+
+
+def test_arrow_edge_property_constraint_runs(fund_graph):
+    # inline edge equality filters the edge table BEFORE the join
+    res = run_script(
+        """
+GraphStructure {
+    a [Account]
+    a -> b [transfer, transDate=20240105] as t
+}
+Rule { }
+Action { get(a.id, b.id) }
+""",
+        fund_graph,
+    )
+    got = {(r["a_id"], r["b_id"]) for r in res.table.collect()}
+    assert got == {("acc1", "acc2")}
+
+
+def test_arrow_edge_property_constraint_varlen_per_hop(fund_graph):
+    # var-len expansion applies the inline constraint at EVERY hop:
+    # amount>=?  only exact equality supported; use amount=70 edge 2->3
+    # then no second hop with amount=70 exists -> only 1-hop paths
+    res = run_script(
+        """
+GraphStructure {
+    a [Account]
+    a -> b [transfer, amount=70.0] repeat(1,2) as e
+}
+Rule { }
+Action { get(a.id, b.id) }
+""",
+        fund_graph,
+    )
+    got = {(r["a_id"], r["b_id"]) for r in res.table.collect()}
+    assert got == {("acc2", "acc3")}
+
+
+def test_parse_multi_label_vertex_alternation(fund_graph, spark):
+    # `s [A, B]` — label list lowers to the same union as (s:A|B)
+    g = PropertyGraph(
+        {
+            "A": spark.createDataFrame([(1, "x")], "vid bigint, id string"),
+            "B": spark.createDataFrame([(2, "y")], "vid bigint, id string"),
+        },
+        {"E": spark.createDataFrame([(1, 2)], "src bigint, dst bigint")},
+    )
+    res = run_script(
+        "GraphStructure {\n s [A, B]\n}\nRule { }\nAction { get(s.id, s.label) }",
+        g,
+    )
+    got = {(r["s_id"], r["s_label"]) for r in res.table.collect()}
+    assert got == {("x", "A"), ("y", "B")}
