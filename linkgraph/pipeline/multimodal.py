@@ -89,6 +89,13 @@ def decode_image_bytes(blob: bytes) -> dict:
         meta = _decode_png_bytes(blob)
         if meta is not None:
             return meta
+    if blob.startswith(b"\xff\xd8"):
+        # REAL JPEG header: SOF marker walk (ITU T.81 §B.2.2) gives
+        # dimensions/components with no codec; pixel decode (and so
+        # mean_value) stays behind the Pillow stub boundary
+        meta = _jpeg_header_dims(blob)
+        if meta is not None:
+            return meta
     try:  # pragma: no cover - codec not installed in this container
         import io
 
@@ -108,6 +115,45 @@ def decode_image_bytes(blob: bytes) -> dict:
             "real image decoding needs Pillow; only the FAKEIMG fixture "
             "format is supported in this container"
         ) from e
+
+
+def _jpeg_header_dims(blob: bytes) -> dict | None:
+    """Walk JPEG segment markers to the first SOFn (0xC0-0xCF except
+    DHT/JPG/DAC) and read precision/height/width/components — header
+    math only (T.81 §B.2.2), no entropy decode. Returns None on a
+    malformed stream so the caller can fall through to Pillow."""
+    i = 2  # past SOI
+    n = len(blob)
+    while i + 4 <= n:
+        if blob[i] != 0xFF:
+            return None
+        marker = blob[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9 or marker == 0xDA:
+            return None  # EOI / start-of-scan before any SOF
+        (seg_len,) = struct.unpack_from(">H", blob, i + 2)
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len < 8:
+                return None
+            _prec, h, w, comps = struct.unpack_from(">BHHB", blob, i + 4)
+            if w == 0 or h == 0:
+                return None
+            return {
+                "width": w,
+                "height": h,
+                "channels": comps,
+                "n_bytes": len(blob),
+                "mean_value": None,  # pixels not decoded (stub boundary)
+            }
+        i += 2 + seg_len
+    return None
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"

@@ -512,3 +512,44 @@ def test_repetition_stats(spark):
     r4_ = got[4]
     assert r4_["n_words"] == 1 and r4_["n_2grams"] == 0
     assert r4_["max_2gram_frac"] == 0.0
+
+
+def test_image_metadata_jpeg_header_dims(spark):
+    """JPEG dimensions come from a real SOF marker walk (T.81 §B.2.2);
+    pixel decode (mean_value) stays stubbed -> null."""
+    import struct
+
+    from linkgraph.pipeline import multimodal
+
+    def make_jpeg(w, h, comps, sof=0xC0, fill=False):
+        soi = b"\xff\xd8"
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof_payload = struct.pack(">BHHB", 8, h, w, comps) + b"\x11\x00" * comps
+        sof_seg = bytes([0xFF, sof]) + struct.pack(
+            ">H", 2 + len(sof_payload)
+        ) + sof_payload
+        fillb = b"\xff" if fill else b""  # 0xFF fill bytes before a marker
+        return soi + app0 + fillb + sof_seg + b"\xff\xd9"
+
+    rows = [
+        (1, make_jpeg(640, 480, 3)),            # baseline SOF0
+        (2, make_jpeg(31, 17, 1, sof=0xC2)),    # progressive SOF2, grayscale
+        (3, make_jpeg(8, 8, 3, fill=True)),     # fill bytes tolerated
+    ]
+    df = spark.createDataFrame(rows, "id bigint, image binary")
+    got = {r["id"]: r for r in multimodal.image_metadata(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (640, 480, 3)
+    assert got[1]["mean_value"] is None
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (31, 17, 1)
+    assert (got[3]["width"], got[3]["height"]) == (8, 8)
+    assert got[1]["n_bytes"] == len(rows[0][1])
+
+
+def test_image_metadata_jpeg_truncated_null_pads(spark):
+    from linkgraph.pipeline import multimodal
+
+    # SOS before any SOF -> not parseable without a codec -> on_error null
+    bad = b"\xff\xd8\xff\xda\x00\x04\x01\x00"
+    df = spark.createDataFrame([(1, bad)], "id bigint, image binary")
+    (r,) = multimodal.image_metadata(df, on_error="null").collect()
+    assert r["width"] is None and r["n_bytes"] is None
