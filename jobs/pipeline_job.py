@@ -81,6 +81,34 @@ def run_pipeline(
     os.makedirs(out, exist_ok=True)
     manifest = _load_manifest(out)
     done = manifest["completed"]
+    # a resume must run under the SAME arguments the committed stages
+    # used — silently mixing configurations corrupts the output
+    args_now = {
+        "pages": pages_path,
+        "buckets": buckets,
+        "pagerank_iters": pagerank_iters,
+        "pagerank_tol": pagerank_tol,
+    }
+    if done and manifest.get("args") not in (None, args_now):
+        raise ValueError(
+            f"{out} holds a run with different arguments "
+            f"({manifest['args']} vs {args_now}) — use a fresh --out or "
+            "delete the old run"
+        )
+    manifest["args"] = args_now
+    # re-append metrics rows lost to a kill between manifest commit and
+    # the metrics write (the manifest is the source of truth)
+    mpath = os.path.join(out, "metrics")
+    if done:
+        try:
+            have = {
+                r["stage"] for r in spark.read.parquet(mpath).collect()
+            }
+        except Exception:
+            have = set()
+        for name, m in done.items():
+            if name not in have:
+                _record(spark, out, name, m)
 
     def stage(name: str, fn) -> None:
         if name in done:

@@ -90,6 +90,12 @@ def _union_label_tables(
     same lowering for vertex alternation as the existing relTypes set)."""
     dfs = [tables[n] for n in names]
     common = [c for c in dfs[0].columns if all(c in d.columns for d in dfs)]
+    if tag_col in common:
+        raise ValueError(
+            f"label alternation over {list(names)} would add a {tag_col!r} "
+            f"tag column, but the tables already share a {tag_col!r} "
+            "column — rename it or query the labels separately"
+        )
     parts = [
         d.select(*common, F.lit(n).alias(tag_col)) for n, d in zip(names, dfs)
     ]
@@ -187,10 +193,11 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         elif m.lastgroup == "str":
             out.append(("str", m.group("str")[1:-1]))
         elif m.lastgroup == "bq":
-            # backquoted symbolic name — adjacent segments concatenate
-            # (KGDSL.g4:842-845 ``( '`' EscapedSymbolicName_0* '`' )+``);
-            # never a keyword, may hold dots/unicode (`RiskMining.TaxOfRiskUser`)
-            out.append(("name", "".join(re.findall(r"`([^`]*)`", m.group("bq")))))
+            # backquoted symbolic name (KGDSL.g4:842-845
+            # ``( '`' EscapedSymbolicName_0* '`' )+``) — as in openCypher,
+            # a doubled backquote escapes a literal one: `Foo``Bar` is the
+            # single name Foo`Bar. Never a keyword; may hold dots/unicode.
+            out.append(("name", "`".join(re.findall(r"`([^`]*)`", m.group("bq")))))
         elif m.lastgroup == "name":
             name = m.group("name")
             if name.lower() in _KEYWORDS:
@@ -250,11 +257,20 @@ class _Parser:
         while self.accept("kw", "optional"):
             self.expect("kw", "match")
             sub = Query()
+            # concept qualifiers inside the OPTIONAL pattern belong to
+            # the optional clause's WHERE, not the main one's
+            outer_filters = self.concept_filters
+            self.concept_filters = []
             self._pattern_chain(sub)
             while self.accept("op", ","):
                 self._pattern_chain(sub)
             if self.accept("kw", "where"):
                 sub.where = self._expr()
+            for c in self.concept_filters:
+                sub.where = (
+                    c if sub.where is None else ("bin", "and", sub.where, c)
+                )
+            self.concept_filters = outer_filters
             q.optionals.append(sub)
         self.expect("kw", "return")
         q.distinct = self.accept("kw", "distinct")

@@ -77,7 +77,7 @@ _TOKEN_RE = re.compile(
     | (?P<num>\d+(?:\.\d+)?)
     | (?P<dstr>"[^"]*")
     | (?P<sstr>'[^']*')
-    | (?P<bq>`[^`]*`)
+    | (?P<bq>(?:`[^`]*`)+)
     | (?P<param>\$[^\W\d]\w*)
     | (?P<name>[^\W\d]\w*(?:\.[^\W\d]\w*)*)
     | (?P<op><->|=>|<-|->|==|!=|<=|>=|&&|\|\||\.\.|[{}()\[\],:\-.*<>=+/%|!])
@@ -113,7 +113,10 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         elif kind in ("dstr", "sstr"):
             out.append(("str", m.group(kind)[1:-1]))
         elif kind == "bq":
-            out.append(("name", m.group("bq")[1:-1]))
+            # doubled backquote = literal backquote (as gql._tokenize)
+            out.append(
+                ("name", "`".join(re.findall(r"`([^`]*)`", m.group("bq"))))
+            )
         elif kind == "param":
             out.append(("param", m.group("param")[1:]))
         elif kind == "name":
@@ -704,6 +707,11 @@ class _ScriptParser:
                     label = labels[0]
                 elif labels:  # label alternation, same lowering as (a:A|B)
                     label = tuple(labels)
+            if len(aliases) > 1 and any(k == "__start__" for k, _ in props):
+                raise SyntaxError(
+                    "__start__ marks ONE traversal root — declare it on a "
+                    "single-alias line, not a multi-vertex declaration"
+                )
             for alias in aliases:
                 for key, val in props:
                     if key == "__start__":

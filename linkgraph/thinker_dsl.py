@@ -52,9 +52,12 @@ test2: lines OR, the line body keeps its own and/or structure):
                              that binding's property facts
 
 Everything lowers to filtered aggregations of the triple table keyed on
-the subject (one hash-shuffle per atomic condition, all joins on s) —
-no collect(), no per-row Python; saturation is the same semi-naive
-outer loop as thinker.infer.
+the subject/binding (one hash-shuffle per atomic condition, all joins
+on entity keys) — no collect(), no per-row Python. Saturation is a
+fixpoint loop with RULE-level incrementality: after round 1, only rules
+whose read-set intersects some rule's production re-derive (conditions
+are not pure Horn joins, so thinker.infer's fact-level semi-naive
+delta restriction does not apply here).
 """
 
 from __future__ import annotations
@@ -297,7 +300,9 @@ class _ThinkerParser:
             patterns, conds = [], []
             for unit in _split_top_and(body):
                 if _is_pattern_unit(unit):
-                    patterns.append(self._pattern_atoms(unit))
+                    atoms, concept_conds = self._pattern_atoms(unit)
+                    patterns.append(atoms)
+                    conds.extend(concept_conds)
                 else:
                     conds.append(_parse_line_expr(unit))
             cond = None
@@ -350,7 +355,16 @@ class _ThinkerParser:
         if p.peek()[0] != "eof":
             raise SyntaxError(f"trailing tokens in body pattern: {p.peek()}")
         types = {a: n.label for a, n in q.nodes.items() if n.label}
-        return [(*a, types) for a in atoms]
+        # concept qualifiers on pattern nodes ((b:B/`special`)) become
+        # membership conditions on that BINDING (belongTo 'B/special'),
+        # not silently dropped
+        concept_conds = []
+        for c in p.concept_filters:
+            alias = c[2][1]
+            label = types.get(alias)
+            cid = f"{label}/{c[3][1]}" if label else c[3][1]
+            concept_conds.append(("concept_of", alias, cid))
+        return [(*a, types) for a in atoms], concept_conds
 
     def _priority(self):
         self._expect("op", "(")
@@ -410,48 +424,55 @@ def _descendants(isa: DataFrame | None, concept_ids: list[str]):
     return cl.where(F.col("ancestor").isin(concept_ids)).select("concept")
 
 
-class _SubjectScope:
-    """Per-subject condition frames over the triple table: each atomic
-    condition joins ONE aggregated frame keyed on the subject column."""
+class _CondScope:
+    """Condition frames over the triple table, each keyed on a BINDING
+    column of the evaluation frame (the rule subject by default; a
+    pattern alias when the atom names one): every atomic condition
+    joins exactly one aggregated frame."""
 
-    def __init__(self, facts: DataFrame, isa: DataFrame | None):
+    def __init__(self, facts: DataFrame, isa: DataFrame | None, subject_col: str):
         self.facts = facts
         self.isa = isa
-        self.frames: list[tuple[str, DataFrame]] = []  # (col, (key, col))
+        self.subject_col = subject_col
+        # (df_key_col, frame keyed on '__key', value col name)
+        self.frames: list[tuple[str, DataFrame, str]] = []
         self.n = 0
 
-    def _add(self, frame: DataFrame, col: str) -> str:
-        self.frames.append((col, frame))
+    def _add(self, frame: DataFrame, col: str, key_col: str | None) -> str:
+        self.frames.append((key_col or self.subject_col, frame, col))
         return col
 
-    def concept_flag(self, concept_id: str) -> str:
+    def concept_flag(self, concept_id: str, key_col: str | None = None) -> str:
         c = f"__c{self.n}"
         self.n += 1
         return self._add(
             self.facts.where(
                 (F.col("p") == "belongTo") & (F.col("o") == concept_id)
-            ).select(F.col("s").alias("__subj"), F.lit(True).alias(c)).distinct(),
+            ).select(F.col("s").alias("__key"), F.lit(True).alias(c)).distinct(),
             c,
+            key_col,
         )
 
-    def prop_value(self, prop: str) -> str:
+    def prop_value(self, prop: str, key_col: str | None = None) -> str:
         c = f"__v{self.n}"
         self.n += 1
         return self._add(
             self.facts.where(F.col("p") == prop)
-            .groupBy(F.col("s").alias("__subj"))
+            .groupBy(F.col("s").alias("__key"))
             .agg(F.min("o").alias(c)),
             c,
+            key_col,
         )
 
-    def member_flag(self, prop: str, lit) -> str:
+    def member_flag(self, prop: str, lit, key_col: str | None = None) -> str:
         c = f"__m{self.n}"
         self.n += 1
         return self._add(
             self.facts.where((F.col("p") == prop) & (F.col("o") == F.lit(lit)))
-            .select(F.col("s").alias("__subj"), F.lit(True).alias(c))
+            .select(F.col("s").alias("__key"), F.lit(True).alias(c))
             .distinct(),
             c,
+            key_col,
         )
 
     def hits_count(self, concept_ids: list[str]) -> str:
@@ -460,23 +481,32 @@ class _SubjectScope:
         tags = self.facts.where(F.col("p") == "belongTo")
         desc = _descendants(self.isa, concept_ids)
         if desc is not None:
+            # descendants PLUS the named ids themselves: a listed concept
+            # absent from the taxonomy must still count its direct tags,
+            # exactly like the no-taxonomy path
+            spark = self.facts.sparkSession
+            ids_df = spark.createDataFrame(
+                [(i,) for i in concept_ids], "concept string"
+            )
+            desc = desc.unionByName(ids_df).distinct()
             tags = tags.join(
                 F.broadcast(desc.withColumnRenamed("concept", "o")), "o"
             )
         else:
             tags = tags.where(F.col("o").isin(concept_ids))
         return self._add(
-            tags.groupBy(F.col("s").alias("__subj")).agg(
+            tags.groupBy(F.col("s").alias("__key")).agg(
                 F.countDistinct("o").alias(c)
             ),
             c,
+            None,
         )
 
 
-def _compile_cond(e, scope: _SubjectScope, cols: dict) -> Column:
+def _compile_cond(e, scope: _CondScope, cols: dict) -> Column:
     """Condition AST -> Column; ``cols`` maps atom-id -> joined column."""
     k = e[0]
-    if k == "concept":
+    if k in ("concept", "concept_of"):
         return F.coalesce(F.col(cols[id(e)]), F.lit(False))
     if k == "ref":
         # bare property name: existence/truthiness of the subject's fact
@@ -515,27 +545,61 @@ def _compile_cond(e, scope: _SubjectScope, cols: dict) -> Column:
     raise ValueError(f"cannot compile thinker condition {e}")
 
 
-def _eval_condition_line(
-    subjects: DataFrame, e, facts: DataFrame, isa: DataFrame | None
+def _apply_conditions(
+    df: DataFrame,
+    e,
+    facts: DataFrame,
+    isa: DataFrame | None,
+    subject_col: str = "__subj",
+    alias_cols: dict | None = None,
 ) -> DataFrame:
-    """subjects(__subj) satisfying one R-line's condition expression."""
-    scope = _SubjectScope(facts, isa)
+    """Filter a binding frame by one R-line's condition expression.
+    ``alias.prop`` refs for a bound pattern alias read THAT binding's
+    facts (keyed on its column); everything else is subject-scoped.
+    Returns df with its original columns."""
+    alias_cols = alias_cols or {}
+    scope = _CondScope(facts, isa, subject_col)
     cols: dict[int, str] = {}
+
+    def ref_key(alias: str | None) -> str | None:
+        return alias_cols.get(alias) if alias else None
 
     def visit(x):
         if not isinstance(x, tuple):
             return
         if x[0] == "concept":
             cols[id(x)] = scope.concept_flag(f"{x[1]}/{x[2]}")
+        elif x[0] == "concept_of":  # pattern-node /`inst` qualifier
+            key = alias_cols.get(x[1])
+            if key is None:
+                raise ValueError(
+                    f"concept qualifier names unbound alias {x[1]!r}"
+                )
+            cols[id(x)] = scope.concept_flag(x[2], key)
         elif x[0] == "ref":
-            prop = x[2] if x[2] else x[1]
-            cols[id(x)] = scope.prop_value(prop)
+            if x[2] and alias_cols:
+                if x[1] not in alias_cols:
+                    raise ValueError(
+                        f"condition references {x[1]}.{x[2]} but {x[1]!r} "
+                        "is not a bound vertex alias (edge-predicate "
+                        "properties are not representable in the triple "
+                        "model — lift them to vertex facts)"
+                    )
+                cols[id(x)] = scope.prop_value(x[2], alias_cols[x[1]])
+            else:
+                cols[id(x)] = scope.prop_value(x[2] if x[2] else x[1])
         elif x[0] == "in":
             if x[1][0] != "lit" or x[2][0] != "ref":
                 raise ValueError("thinker `in` needs \"lit\" in prop")
-            cols[id(x)] = scope.member_flag(
-                x[2][2] if x[2][2] else x[2][1], x[1][1]
-            )
+            ref = x[2]
+            if ref[2] and ref[1] in alias_cols:
+                cols[id(x)] = scope.member_flag(
+                    ref[2], x[1][1], alias_cols[ref[1]]
+                )
+            else:
+                cols[id(x)] = scope.member_flag(
+                    ref[2] if ref[2] else ref[1], x[1][1]
+                )
             return  # children already consumed
         elif x[0] == "func" and x[1] == "hits":
             ids = []
@@ -557,10 +621,12 @@ def _eval_condition_line(
                 visit(a)
 
     visit(e)
-    df = subjects
-    for col, frame in scope.frames:
-        df = df.join(frame, "__subj", "left")
-    return df.where(_compile_cond(e, scope, cols)).select("__subj")
+    keep = df.columns
+    for key_col, frame, _val in scope.frames:
+        df = df.join(
+            frame, F.col(key_col) == F.col("__key"), "left"
+        ).drop("__key")
+    return df.where(_compile_cond(e, scope, cols)).select(*keep)
 
 
 def _typed_entities(facts: DataFrame, typ: str | None) -> DataFrame:
@@ -578,7 +644,7 @@ def _eval_concept_rule(
 ) -> DataFrame:
     subjects = facts.select(F.col("s").alias("__subj")).distinct()
     parts = [
-        _eval_condition_line(subjects, line, facts, isa) for line in rule.lines
+        _apply_conditions(subjects, line, facts, isa) for line in rule.lines
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -617,16 +683,16 @@ def _eval_relation_rule(
             df = df.join(e, on) if on else df.crossJoin(e)
             bound |= {src, dst}
         if cond is not None:
-            # conditions evaluate against the rule's SUBJECT binding
-            sub = _eval_condition_line(
-                df.select(
-                    F.col(f"__a_{rule.subj_alias}").alias("__subj")
-                ).distinct(),
+            # alias-qualified refs/concept qualifiers read their own
+            # binding; unqualified atoms are subject-scoped
+            df = _apply_conditions(
+                df,
                 cond,
                 facts,
                 isa,
-            ).withColumnRenamed("__subj", f"__a_{rule.subj_alias}")
-            df = df.join(sub, f"__a_{rule.subj_alias}")
+                subject_col=f"__a_{rule.subj_alias}",
+                alias_cols={a: f"__a_{a}" for a in bound},
+            )
         if rule.obj_inst is not None:
             obj = F.lit(f"{rule.obj_type}/{rule.obj_inst}")
         elif rule.obj_alias in bound:
@@ -649,21 +715,78 @@ def _eval_relation_rule(
     return out.distinct()
 
 
+def _rule_reads(rule) -> set:
+    """Static read-set: which derivable facts could change this rule's
+    result. ('c', id) = belongTo to a concept; ('p', pred) = a relation
+    predicate; 'ANY_BELONGTO' = hits() (taxonomy descendants are not
+    statically known). Plain property reads are never derivable, so they
+    don't appear."""
+    reads: set = set()
+
+    def walk(e):
+        if not isinstance(e, tuple):
+            return
+        if e[0] == "concept":
+            reads.add(("c", f"{e[1]}/{e[2]}"))
+        elif e[0] == "concept_of":
+            reads.add(("c", e[2]))
+        elif e[0] == "func" and e[1] == "hits":
+            reads.add("ANY_BELONGTO")
+        elif e[0] == "bin":
+            walk(e[2])
+            walk(e[3])
+        elif e[0] == "not":
+            walk(e[1])
+        elif e[0] == "func":
+            for a in e[2]:
+                walk(a)
+        elif e[0] == "in":
+            walk(e[1])
+
+    if isinstance(rule, ConceptRule):
+        for line in rule.lines:
+            walk(line)
+    else:
+        for patterns, cond in rule.lines:
+            for _src, pred, _pa, _dst, _t in patterns:
+                reads.add(("p", pred))
+            if cond is not None:
+                walk(cond)
+    return reads
+
+
+def _rule_produces(rule) -> set:
+    if isinstance(rule, ConceptRule):
+        return {("c", rule.concept_id), "ANY_BELONGTO"}
+    return {("p", rule.pred)}
+
+
 def infer_thinker(
     triples: DataFrame,
     rules: list,
     isa: DataFrame | None = None,
     max_iter: int = 20,
 ) -> DataFrame:
-    """Forward-saturate the concept/relation rules: every round derives
-    each rule over the accumulated facts, keeps the new rows, repeats to
-    fixpoint (rules chain — a derived belongTo can satisfy another
-    rule's concept condition). Priority rules derive nothing here."""
+    """Forward-saturate the concept/relation rules to a fixpoint (rules
+    chain — a derived belongTo can satisfy another rule's concept
+    condition). Round 1 derives every rule; later rounds re-derive only
+    rules whose static read-set (concept refs, hits(), body-pattern
+    predicates) intersects what some rule PRODUCES — a rule reading only
+    base properties/tags runs exactly once. This is rule-level
+    incrementality (the conditions are not pure Horn joins, so fact-
+    level semi-naive as in thinker.infer does not apply); per round the
+    new facts are isolated with one distinct + anti-join. Priority rules
+    derive nothing here."""
     derive = [r for r in rules if not isinstance(r, PriorityRule)]
+    produced_all: set = set()
+    for r in derive:
+        produced_all |= _rule_produces(r)
+    affected = [r for r in derive if _rule_reads(r) & produced_all]
     full = triples.select("s", "p", "o").distinct().localCheckpoint(eager=True)
+    active = derive
     for _ in range(max_iter):
         parts = []
-        for r in derive:
+        for r in active:
             parts.append(
                 _eval_concept_rule(r, full, isa)
                 if isinstance(r, ConceptRule)
@@ -682,6 +805,9 @@ def infer_thinker(
         if delta.isEmpty():
             return full
         full = full.unionByName(delta).localCheckpoint(eager=True)
+        active = affected
+        if not active:
+            return full
     raise RuntimeError(
         f"thinker rules did not converge in {max_iter} rounds"
     )

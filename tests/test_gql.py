@@ -471,9 +471,10 @@ def test_parse_dotted_backquoted_concept_labels():
     assert q.where == (
         "bin", "=", ("ref", "u", "concept"), ("lit", "赌博App开发者")
     )
-    # adjacent backquoted segments concatenate (KGDSL.g4:842-845)
+    # a doubled backquote escapes a literal one (KGDSL.g4:842-845
+    # EscapedSymbolicName, openCypher semantics)
     q2 = parse("MATCH (a:`Foo``Bar`) RETURN a.vid")
-    assert q2.nodes["a"].label == "FooBar"
+    assert q2.nodes["a"].label == "Foo`Bar"
 
 
 def test_parse_label_alternation():
@@ -551,3 +552,39 @@ def test_label_alternation_compile(spark):
     assert [(r["sn"], r["sl"], r["on"], r["ol"]) for r in rows] == [
         ("x", "A", "y", "B")
     ]
+
+
+def test_optional_match_concept_qualifier_scopes_to_optional(spark):
+    """A /`concept` qualifier inside OPTIONAL MATCH filters the optional
+    clause only — rows without the concept keep left-join NULLs instead
+    of being dropped (and the main WHERE stays clean)."""
+    users = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "vid bigint, name string"
+    )
+    tags = spark.createDataFrame(
+        [(10, "x", "good"), (11, "y", "bad")],
+        "vid bigint, name string, concept string",
+    )
+    g2 = PropertyGraph(
+        {"U": users, "T": tags},
+        {"r": spark.createDataFrame([(1, 10), (2, 11)], "src bigint, dst bigint")},
+    )
+    q = parse(
+        "MATCH (a:U) OPTIONAL MATCH (a)-[:r]->(o:T/`good`) "
+        "RETURN a.name AS an, o.name AS on"
+    )
+    assert q.where is None  # the conjunct belongs to the optional clause
+    assert q.optionals[0].where is not None
+    rows = {(r["an"], r["on"]) for r in compile_query(q, g2).collect()}
+    assert rows == {("a", "x"), ("b", None)}
+
+
+def test_label_alternation_tag_collision_raises(spark):
+    a = spark.createDataFrame([(1, "x")], "vid bigint, label string")
+    b = spark.createDataFrame([(2, "y")], "vid bigint, label string")
+    g2 = PropertyGraph(
+        {"A": a, "B": b},
+        {"E": spark.createDataFrame([(1, 2)], "src bigint, dst bigint")},
+    )
+    with pytest.raises(ValueError, match="already share a 'label'"):
+        compile_query("MATCH (s:A|B) RETURN s.vid AS v", g2).collect()

@@ -1125,3 +1125,11 @@ def test_parse_multi_label_vertex_alternation(fund_graph, spark):
     )
     got = {(r["s_id"], r["s_label"]) for r in res.table.collect()}
     assert got == {("x", "A"), ("y", "B")}
+
+
+def test_start_on_multi_vertex_line_rejected():
+    with pytest.raises(SyntaxError, match="ONE traversal root"):
+        parse_script(
+            "GraphStructure {\n a, b [V, __start__='true']\n a -> b [E]\n}\n"
+            "Rule { }\nAction { get(a.vid) }"
+        )

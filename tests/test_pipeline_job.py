@@ -64,3 +64,27 @@ def test_full_run_single_pass(spark, pages_dir, tmp_path):
     e = spark.read.parquet(f"{out}/edges").count()
     assert v > 0 and e > 0
     assert spark.read.parquet(f"{out}/pagerank").count() == v
+
+
+def test_resume_with_different_args_rejected(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "run3")
+    with pytest.raises(RuntimeError, match="fail_after"):
+        run_pipeline(spark, pages_dir, out, fail_after="extract",
+                     pagerank_iters=4)
+    with pytest.raises(ValueError, match="different arguments"):
+        run_pipeline(spark, pages_dir, out, pagerank_iters=7)
+
+
+def test_metrics_row_backfilled_from_manifest(spark, pages_dir, tmp_path):
+    import shutil
+
+    out = str(tmp_path / "run4")
+    with pytest.raises(RuntimeError, match="fail_after"):
+        run_pipeline(spark, pages_dir, out, fail_after="extract",
+                     pagerank_iters=3)
+    # simulate a kill between manifest commit and the metrics append
+    shutil.rmtree(os.path.join(out, "metrics"))
+    run_pipeline(spark, pages_dir, out, pagerank_iters=3)
+    rows = spark.read.parquet(f"{out}/metrics").collect()
+    assert {r["stage"] for r in rows} == set(STAGES)
+    assert len(rows) == len(STAGES)

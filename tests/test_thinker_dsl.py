@@ -300,3 +300,96 @@ def test_priority(spark):
         ("p1", "危险水平分层/超高危", 100),
         ("p2", "危险水平分层/低危", 10),
     }
+
+
+def test_relation_rule_condition_on_pattern_alias(spark):
+    """b.score in a relation-rule body reads the b BINDING's facts, not
+    the subject's (r4 review fix)."""
+    facts = spark.createDataFrame(
+        [
+            ("a1", "type", "T"),
+            ("a2", "type", "T"),
+            ("b1", "score", "9"),
+            ("b2", "score", "1"),
+            ("a1", "r", "b1"),
+            ("a2", "r", "b2"),
+            # subjects carry a DIFFERENT score — must not be consulted
+            ("a1", "score", "0"),
+            ("a2", "score", "99"),
+        ],
+        "s string, p string, o string",
+    )
+    closure = infer_thinker(
+        facts,
+        parse_thinker(
+            "Define (a:T)-[:flag]->(d:U/`v`) {\n"
+            "    R1: (a)-[:r]->(b) and b.score >= 5\n"
+            "}"
+        ),
+    )
+    got = {r["s"] for r in closure.where("p='flag'").collect()}
+    assert got == {"a1"}
+
+
+def test_pattern_node_concept_qualifier_respected(spark):
+    """(b:B/`special`) in a body pattern restricts b to belongTo
+    B/special members (r4 review fix — previously dropped)."""
+    facts = spark.createDataFrame(
+        [
+            ("a1", "type", "T"),
+            ("a2", "type", "T"),
+            ("b1", "type", "B"),
+            ("b2", "type", "B"),
+            ("b1", "belongTo", "B/special"),
+            ("a1", "r", "b1"),
+            ("a2", "r", "b2"),
+        ],
+        "s string, p string, o string",
+    )
+    closure = infer_thinker(
+        facts,
+        parse_thinker(
+            "Define (a:T)-[:flag]->(d:U/`v`) {\n"
+            "    R1: (a)-[:r]->(b:B/`special`)\n"
+            "}"
+        ),
+    )
+    got = {r["s"] for r in closure.where("p='flag'").collect()}
+    assert got == {"a1"}
+
+
+def test_hits_counts_direct_concept_not_in_taxonomy(spark):
+    """A listed hits() concept absent from the isa frame still counts
+    its direct belongTo facts (r4 review fix)."""
+    facts = spark.createDataFrame(
+        [("p1", "belongTo", "X/a"), ("p1", "belongTo", "Y/direct")],
+        "s string, p string, o string",
+    )
+    isa = spark.createDataFrame(
+        [("X/a", "X/root")], "child string, parent string"
+    )
+    closure = infer_thinker(
+        facts,
+        parse_thinker(
+            "Define (Z/`hit2`) {\n  R1: hits(X/`root`, Y/`direct`) >= 2\n}"
+        ),
+        isa=isa,
+    )
+    got = {(r["s"], r["o"]) for r in closure.where("p='belongTo'").collect()}
+    assert ("p1", "Z/hit2") in got
+
+
+def test_edge_predicate_property_condition_raises(spark):
+    facts = spark.createDataFrame(
+        [("a1", "type", "T"), ("a1", "r", "b1")],
+        "s string, p string, o string",
+    )
+    with pytest.raises(Exception, match="not a bound vertex alias"):
+        infer_thinker(
+            facts,
+            parse_thinker(
+                "Define (a:T)-[:flag]->(d:U/`v`) {\n"
+                "    R1: (a)-[p:r]->(b) and p.kind == 'x'\n"
+                "}"
+            ),
+        ).where("p='flag'").collect()
