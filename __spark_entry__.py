@@ -1156,22 +1156,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
     parts = [
-        f"WITH edges AS ({EDGES_SQL}),",
-        f"verts AS ({VERTS_SQL}),",
-        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),",
-        "deg AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),",
-        "r0 AS (SELECT vid, 1.0/(SELECT n FROM nv) AS score FROM verts)",
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}),",
+        f"verts AS MATERIALIZED ({VERTS_SQL}),",
+        "nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),",
+        "deg AS MATERIALIZED (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),",
+        "r0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT n FROM nv) AS score FROM verts)",
     ]
     for i in range(iters):
         parts.append(
-            f""", dang{i} AS (
+            f""", dang{i} AS MATERIALIZED (
   SELECT COALESCE(SUM(r.score), 0.0) AS s
   FROM r{i} r LEFT JOIN deg ON r.vid = deg.vid WHERE deg.vid IS NULL
-), m{i} AS (
+), m{i} AS MATERIALIZED (
   SELECT e.dst AS vid, SUM(r.score / deg.d) AS ms
   FROM edges e JOIN r{i} r ON e.src = r.vid JOIN deg ON r.vid = deg.vid
   GROUP BY e.dst
-), r{i + 1} AS (
+), r{i + 1} AS MATERIALIZED (
   SELECT v.vid,
          (1 - {damping})/(SELECT n FROM nv)
          + {damping} * (SELECT s FROM dang{i})/(SELECT n FROM nv)
@@ -1188,11 +1188,11 @@ def _ppr_sql(iters: int = 3, damping: float = 0.85, n_seeds: int = 2) -> str:
     derived in SQL exactly as the Spark query derives them)."""
     in_seeds = "IN (SELECT vid FROM seeds)"
     parts = [
-        f"WITH edges AS ({EDGES_SQL}),",
-        f"verts AS ({VERTS_SQL}),",
-        f"seeds AS (SELECT vid FROM verts ORDER BY vid LIMIT {n_seeds}),",
-        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),",
-        "deg AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),",
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}),",
+        f"verts AS MATERIALIZED ({VERTS_SQL}),",
+        f"seeds AS MATERIALIZED (SELECT vid FROM verts ORDER BY vid LIMIT {n_seeds}),",
+        "ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),",
+        "deg AS MATERIALIZED (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),",
         f"r0 AS (SELECT v.vid, CASE WHEN v.vid {in_seeds} THEN 1.0/(SELECT n FROM ns) ELSE 0.0 END AS score FROM verts v)",
     ]
     for i in range(iters):
@@ -1200,11 +1200,11 @@ def _ppr_sql(iters: int = 3, damping: float = 0.85, n_seeds: int = 2) -> str:
             f""", dang{i} AS (
   SELECT COALESCE(SUM(r.score), 0.0) AS s
   FROM r{i} r LEFT JOIN deg ON r.vid = deg.vid WHERE deg.vid IS NULL
-), m{i} AS (
+), m{i} AS MATERIALIZED (
   SELECT e.dst AS vid, SUM(r.score / deg.d) AS ms
   FROM edges e JOIN r{i} r ON e.src = r.vid JOIN deg ON r.vid = deg.vid
   GROUP BY e.dst
-), r{i + 1} AS (
+), r{i + 1} AS MATERIALIZED (
   SELECT v.vid,
          {damping} * COALESCE(m.ms, 0.0)
          + CASE WHEN v.vid {in_seeds}
@@ -1221,32 +1221,32 @@ def _hits_sql(iters: int = 3) -> str:
     """Unrolled HITS oracle (same half-step + L2 normalization order as
     algos/hits.py; zero-sum norms fall back to 1.0 on both sides)."""
     parts = [
-        f"WITH edges AS ({EDGES_SQL}),",
-        f"verts AS ({VERTS_SQL}),",
-        "s0 AS (SELECT vid, 1.0 AS hub, 1.0 AS auth FROM verts)",
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}),",
+        f"verts AS MATERIALIZED ({VERTS_SQL}),",
+        "s0 AS MATERIALIZED (SELECT vid, 1.0 AS hub, 1.0 AS auth FROM verts)",
     ]
     for i in range(iters):
         parts.append(
-            f""", ar{i} AS (
+            f""", ar{i} AS MATERIALIZED (
   SELECT e.dst AS vid, SUM(s.hub) AS araw
   FROM edges e JOIN s{i} s ON e.src = s.vid GROUP BY e.dst
-), an{i} AS (
+), an{i} AS MATERIALIZED (
   SELECT CASE WHEN COALESCE(SUM(araw * araw), 0) = 0 THEN 1.0
               ELSE sqrt(SUM(araw * araw)) END AS n
   FROM ar{i}
-), a{i} AS (
+), a{i} AS MATERIALIZED (
   SELECT v.vid, s.hub, COALESCE(ar.araw, 0.0) / (SELECT n FROM an{i}) AS auth
   FROM verts v
   JOIN s{i} s ON v.vid = s.vid
   LEFT JOIN ar{i} ar ON v.vid = ar.vid
-), hr{i} AS (
+), hr{i} AS MATERIALIZED (
   SELECT e.src AS vid, SUM(a.auth) AS hraw
   FROM edges e JOIN a{i} a ON e.dst = a.vid GROUP BY e.src
-), hn{i} AS (
+), hn{i} AS MATERIALIZED (
   SELECT CASE WHEN COALESCE(SUM(hraw * hraw), 0) = 0 THEN 1.0
               ELSE sqrt(SUM(hraw * hraw)) END AS n
   FROM hr{i}
-), s{i + 1} AS (
+), s{i + 1} AS MATERIALIZED (
   SELECT a.vid, COALESCE(hr.hraw, 0.0) / (SELECT n FROM hn{i}) AS hub, a.auth
   FROM a{i} a LEFT JOIN hr{i} hr ON a.vid = hr.vid
 )"""
@@ -1259,17 +1259,17 @@ def _hits_sql(iters: int = 3) -> str:
 
 def _cc_sql(iters: int = 8) -> str:
     parts = [
-        f"WITH edges AS ({EDGES_SQL}),",
-        f"und AS ({UND_SQL}),",
-        f"verts AS ({VERTS_SQL}),",
-        "c0 AS (SELECT vid, vid AS component FROM verts)",
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}),",
+        f"und AS MATERIALIZED ({UND_SQL}),",
+        f"verts AS MATERIALIZED ({VERTS_SQL}),",
+        "c0 AS MATERIALIZED (SELECT vid, vid AS component FROM verts)",
     ]
     for i in range(iters):
         parts.append(
-            f""", m{i} AS (
+            f""", m{i} AS MATERIALIZED (
   SELECT u.dst AS vid, MIN(c.component) AS mc
   FROM und u JOIN c{i} c ON u.src = c.vid GROUP BY u.dst
-), c{i + 1} AS (
+), c{i + 1} AS MATERIALIZED (
   SELECT c.vid, LEAST(c.component, COALESCE(m.mc, c.component)) AS component
   FROM c{i} c LEFT JOIN m{i} m ON c.vid = m.vid
 )"""
@@ -1392,22 +1392,22 @@ SELECT v AS vid, MIN(r) AS component FROM reach GROUP BY v"""
 
 def _lpa_sql(iters: int = 4) -> str:
     parts = [
-        f"WITH edges AS ({EDGES_SQL}),",
-        f"und AS ({UND_SQL}),",
-        f"verts AS ({VERTS_SQL}),",
-        "l0 AS (SELECT vid, vid AS label FROM verts)",
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}),",
+        f"und AS MATERIALIZED ({UND_SQL}),",
+        f"verts AS MATERIALIZED ({VERTS_SQL}),",
+        "l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)",
     ]
     for i in range(iters):
         parts.append(
-            f""", cnt{i} AS (
+            f""", cnt{i} AS MATERIALIZED (
   SELECT u.dst AS vid, l.label AS nlabel, COUNT(*) AS c
   FROM und u JOIN l{i} l ON u.src = l.vid GROUP BY u.dst, l.label
-), best{i} AS (
+), best{i} AS MATERIALIZED (
   SELECT vid, nlabel FROM (
     SELECT vid, nlabel, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY c DESC, nlabel ASC) AS rn
     FROM cnt{i}
   ) t WHERE rn = 1
-), l{i + 1} AS (
+), l{i + 1} AS MATERIALIZED (
   SELECT l.vid, COALESCE(b.nlabel, l.label) AS label
   FROM l{i} l LEFT JOIN best{i} b ON l.vid = b.vid
 )"""

@@ -427,7 +427,10 @@ class _PatternParser(gql._Parser):
         self.seen_aliases.add(alias)
         label = None
         if self.accept("op", ":"):
-            label = self.expect("name")[1]
+            labels = [self.expect("name")[1]]
+            while self.accept("op", "|"):  # label alternation, as gql
+                labels.append(self.expect("name")[1])
+            label = labels[0] if len(labels) == 1 else tuple(labels)
             if self.accept("op", "/"):
                 concept = self.expect("name")[1]
                 self.concept_filters.append(

@@ -1133,3 +1133,19 @@ def test_start_on_multi_vertex_line_rejected():
             "GraphStructure {\n a, b [V, __start__='true']\n a -> b [E]\n}\n"
             "Rule { }\nAction { get(a.vid) }"
         )
+
+
+def test_gql_chain_label_alternation(spark):
+    g = PropertyGraph(
+        {
+            "A": spark.createDataFrame([(1, "x")], "vid bigint, id string"),
+            "B": spark.createDataFrame([(2, "y")], "vid bigint, id string"),
+        },
+        {"E": spark.createDataFrame([(1, 2)], "src bigint, dst bigint")},
+    )
+    res = run_script(
+        "GraphStructure { (s:A|B)-[e:E]->(o:A|B) }\nRule { }\n"
+        "Action { get(s.id, o.id) }",
+        g,
+    )
+    assert [(r["s_id"], r["o_id"]) for r in res.table.collect()] == [("x", "y")]

@@ -1,7 +1,8 @@
 """Local harness mimicking the driver's correctness gate: run every
 queries() entry in Spark and its oracle_sql() in DuckDB on the same
 parquet tables; compare row count, sorted schema, and order-insensitive
-values. Usage: PYTHONPATH=. python tools/check_oracle.py [sf_dir] [names...]"""
+values. Usage:
+PYTHONPATH=. python tools/check_oracle.py [--json out.json] [sf_dir] [names...]"""
 
 from __future__ import annotations
 
@@ -34,8 +35,14 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8, driver_memory="8g")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -83,7 +90,23 @@ def main():
             print(f"FAIL  {name}: values differ, e.g. {diff}")
             continue
         print(f"OK    {name}: rows={len(spandas)} [{t_spark:.1f}s]")
+        results[name] = {
+            "ok": True,
+            "rows": len(spandas),
+            "spark_s": round(t_spark, 2),
+        }
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    if json_out:
+        import json
+
+        for f in failures:
+            results[f] = {"ok": False}
+        with open(json_out, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "checked_at": time.time(), "results": results},
+                fh,
+                indent=2,
+            )
     spark.stop()
     sys.exit(1 if failures else 0)
 
