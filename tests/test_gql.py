@@ -588,3 +588,28 @@ def test_label_alternation_tag_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="already share a 'label'"):
         compile_query("MATCH (s:A|B) RETURN s.vid AS v", g2).collect()
+
+
+def test_label_surface_fuzz_deterministic():
+    """Fuzz the r4 label surface (backquotes, dots, alternation,
+    concept qualifiers): determinism + clean rejection on truncation."""
+    import random
+
+    rng = random.Random(17)
+    labels = [
+        ":User", ":Ns.Dotted", ":`Back.Quoted`", ":`名字`/`概念`",
+        ":A|B", ":`X.Y`|Other", ":T/`with space`", ":`esc``aped`",
+    ]
+    for _ in range(150):
+        lab1, lab2 = rng.choice(labels), rng.choice(labels)
+        dsl = f"MATCH (a{lab1})-[:r]->(b{lab2}) RETURN a.vid AS v"
+        try:
+            q1, q2 = parse(dsl), parse(dsl)
+            assert q1.nodes == q2.nodes and q1.where == q2.where
+        except SyntaxError:
+            pass
+        cut = dsl[: rng.randrange(len(dsl))]
+        try:
+            parse(cut)
+        except SyntaxError:
+            pass

@@ -393,3 +393,60 @@ def test_edge_predicate_property_condition_raises(spark):
                 "}"
             ),
         ).where("p='flag'").collect()
+
+
+# ---------------------------------------------------------------------------
+# fuzz: determinism + clean rejection (the kgdsl/gql fuzz discipline)
+# ---------------------------------------------------------------------------
+
+
+def test_thinker_parser_fuzz_deterministic():
+    """Seeded fuzz over the three Define forms: every generated script
+    parses to the same AST repr twice, and truncation at any point
+    raises nothing but SyntaxError."""
+    import random
+
+    rng = random.Random(41)
+    concepts = ["危险/`很高`", "Seg/`BUILDING`", "A.B/`x y`"]
+    conds = [
+        "prop >= 10", "!prop", 'name == "v"', '("x" in tags)',
+        "危险/`很高`", "hits(Seg/`BUILDING`) >= 2",
+        "a1 > 1 and (b2 < 3 or !c3)",
+    ]
+    pats = [
+        "(a)-[:r]->(b)", "(a)-[p:r]->(b:T)", "(a)-[:r]->(b:T/`c`)",
+    ]
+    for _ in range(120):
+        kind = rng.randrange(3)
+        if kind == 0:
+            lines = "\n".join(
+                f"  R{i}: {rng.choice(conds)}"
+                for i in range(rng.randrange(1, 4))
+            )
+            script = f"Define ({rng.choice(concepts)}) {{\n{lines}\n}}"
+        elif kind == 1:
+            body = " AND ".join(
+                [rng.choice(pats)] + [rng.choice(conds)][: rng.randrange(2)]
+            )
+            obj = rng.choice(["(d:U)", "(:U/`inst`)"])
+            script = (
+                f"Define (a:T)-[:pred]->{obj} {{\n  R1: {body}\n}}"
+            )
+        else:
+            ws = "\n".join(
+                f"  w{i} = {rng.randrange(100)}"
+                for i in range(rng.randrange(1, 4))
+            )
+            script = f"DefinePriority(T) {{\n{ws}\n}}"
+        if rng.random() < 0.4:
+            script += '\nDescription: "d"'
+        try:
+            r1, r2 = parse_thinker(script), parse_thinker(script)
+            assert repr(r1) == repr(r2)
+        except SyntaxError:
+            pass
+        cut = script[: rng.randrange(len(script))]
+        try:
+            parse_thinker(cut)
+        except SyntaxError:
+            pass
