@@ -595,6 +595,41 @@ def _p4_gql_param_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _p7_gql_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p2's var-len reachability through the {m,n} quantifier spelling
+    (graph_pattern_quantifier, KGDSL.g4:199-203) + an inline node WHERE
+    (element_pattern_where_clause, KGDSL.g4:221) — the seeds filter
+    applies BEFORE expansion exactly like a WHERE conjunct."""
+    from linkgraph.gql import compile_query
+
+    g = _graph997(spark, sf_dir)
+    return compile_query(
+        "MATCH (a WHERE a.vid < 3)-[e]->{1,3}(b) RETURN DISTINCT b.vid AS vid",
+        g,
+    )
+
+
+def _p8_gql_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linked-edge expansion ([l:udf(args)] — linked_edge, KGDSL.g4:219;
+    LinkedExpand, PatternMatchPlanner.scala:269-277): derived edges from
+    a registered UDTF, exploded JVM-side, target bound to the vertex
+    table like any stored edge."""
+    from linkgraph.functions import register_udtf
+    from linkgraph.gql import compile_query
+
+    @register_udtf("seq_upto", replace=True)
+    def _seq_upto(c):
+        return F.sequence(F.lit(1), c)
+
+    g = _graph997(spark, sf_dir)
+    return compile_query(
+        "MATCH (a WHERE a.vid >= 1 AND a.vid <= 5)"
+        "-[l:seq_upto(a.vid)]->(b) "
+        "RETURN a.vid AS a, b.vid AS b",
+        g,
+    )
+
+
 def _riskmining_graph(spark: SparkSession, sf_dir: str):
     """Deterministic riskmining-shaped fixture from testdata: customers
     as concept-tagged users, orders as concept-tagged apps, developed /
@@ -1092,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_lsh_topk": _e_lsh_topk,
         "p5_gql_dsl_labels": _p5_gql_dsl_labels,
         "p6_gql_label_union": _p6_gql_label_union,
+        "p7_gql_quantifier": _p7_gql_quantifier,
+        "p8_gql_linked": _p8_gql_linked,
         "k6_kgdsl_edge_props": _k6_kgdsl_edge_props,
         "t2_thinker_concept_rule": _t2_thinker_concept_rule,
         "t3_thinker_priority": _t3_thinker_priority,
@@ -1130,9 +1167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_topk_per_group": _q3_topk_per_group,
         "q4_optional": _q4_optional,
         "q5_anti": _q5_anti,
+        # ---- driver recording window (50) typically ends here ----
         "q6_semi": _q6_semi,
         "q7_union": _q7_union,
-        # ---- driver recording window (50) typically ends here ----
         "q8_fold_concat": _q8_fold_concat,
         "q9_distinct": _q9_distinct,
         "q10_events_by_day": _q10_events_by_day,
@@ -1930,6 +1967,23 @@ WITH users AS (
 )
 SELECT label AS kind, COUNT(*) AS n FROM tagged
 WHERE concept LIKE '赌博%' GROUP BY label""",
+        "p7_gql_quantifier": f"""
+WITH edges AS ({EDGES_SQL}),
+verts AS ({VERTS_SQL}),
+seeds AS (SELECT vid FROM verts WHERE vid < 3),
+h1 AS (SELECT DISTINCT e.dst AS vid FROM seeds s JOIN edges e ON e.src = s.vid),
+h2 AS (SELECT DISTINCT e.dst AS vid FROM h1 JOIN edges e ON e.src = h1.vid),
+h3 AS (SELECT DISTINCT e.dst AS vid FROM h2 JOIN edges e ON e.src = h2.vid)
+SELECT vid FROM h1 UNION SELECT vid FROM h2 UNION SELECT vid FROM h3""",
+        "p8_gql_linked": f"""
+WITH edges AS ({EDGES_SQL}),
+verts AS ({VERTS_SQL})
+SELECT a.vid AS a, b.vid AS b
+FROM verts a
+JOIN (SELECT vid, unnest(generate_series(1, vid)) AS t FROM verts) g
+  ON g.vid = a.vid
+JOIN verts b ON b.vid = g.t
+WHERE a.vid >= 1 AND a.vid <= 5""",
         "k1_kgdsl_filter": f"""
 WITH edges AS ({EDGES_SQL}),
 verts AS ({_NAMED_VERTS_SQL})

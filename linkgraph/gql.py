@@ -135,6 +135,9 @@ class EdgePat:
     # var-len walk applies them per hop and Catalyst pushes them into
     # the scan
     props: tuple = ()
+    # derived-edge function ([e:udf(args)] — linked_edge, KGDSL.g4:219):
+    # (udtf_name, (arg_expr, ...)); rel is None when set
+    linked: tuple | None = None
 
     @property
     def is_varlen(self) -> bool:
@@ -164,7 +167,7 @@ _TOKEN_RE = re.compile(
     | (?P<bq>(?:`[^`]*`)+)
     | (?P<param>\$[^\W\d]\w*)
     | (?P<name>[^\W\d]\w*)
-    | (?P<op><-|->|<>|<=|>=|\.\.|[()\[\],:\-.*<>=+/%|])
+    | (?P<op><-|->|<>|<=|>=|\.\.|[()\[\]{},:\-.*<>=+/%|?])
     )""",
     re.X,
 )
@@ -303,21 +306,46 @@ class _Parser:
         left = self._node(q)
         while self.peek() in (("op", "-"), ("op", "<-")):
             back = self.next()[1] == "<-"
-            alias = rel = None
+            alias = rel = linked = None
             lower = upper = elimit = None
             if self.accept("op", "["):
-                if self.peek()[0] == "name":
+                if self.peek()[0] == "name" and self.toks[self.i + 1] != (
+                    "op", "("
+                ):
                     alias = self.next()[1]
                 if self.accept("op", ":"):
-                    rels = [self._label_name()]
-                    while self.accept("op", "|"):
-                        rels.append(self._label_name())
-                    rel = rels[0] if len(rels) == 1 else tuple(rels)
+                    if (
+                        self.peek()[0] == "name"
+                        and self.toks[self.i + 1] == ("op", "(")
+                    ):
+                        # linked edge [e:udf(args)] (linked_edge =
+                        # function_expr, KGDSL.g4:219) — derived edges
+                        # computed by a registered UDTF
+                        fname = self.next()[1]
+                        self.next()  # (
+                        fargs = []
+                        if self.peek() != ("op", ")"):
+                            fargs.append(self._expr())
+                            while self.accept("op", ","):
+                                fargs.append(self._expr())
+                        self.expect("op", ")")
+                        linked = (fname, tuple(fargs))
+                    else:
+                        rels = [self._label_name()]
+                        while self.accept("op", "|"):
+                            rels.append(self._label_name())
+                        rel = rels[0] if len(rels) == 1 else tuple(rels)
                 if self.accept("op", "*"):
                     lower = int(self.expect("num")[1])
                     self.expect("op", "..")
                     upper = int(self.expect("num")[1])
-                if self.accept("kw", "limit"):  # per-source fanout cap
+                # per-source fanout cap: LIMIT n, or the grammar's
+                # PER_NODE_LIMIT n spelling (KGDSL.g4:197-198)
+                if self.accept("kw", "limit") or (
+                    self.peek()[0] == "name"
+                    and self.peek()[1].lower() == "per_node_limit"
+                    and self.next()
+                ):
                     elimit = int(self.expect("num")[1])
                 self.expect("op", "]")
             undirected = False
@@ -327,6 +355,32 @@ class _Parser:
                 undirected = True
             else:
                 self.expect("op", "->")
+            # graph_pattern_quantifier (KGDSL.g4:199-203): -[e:T]->{1,3}
+            # is the {m,n} spelling of *m..n; `{,n}` starts at 1
+            if self.accept("op", "{"):
+                if lower is not None:
+                    raise SyntaxError("both *l..u and {m,n} on one edge")
+                lower = 1
+                if self.peek()[0] == "num":
+                    lower = int(self.next()[1])
+                self.expect("op", ",")
+                if self.peek()[0] != "num":
+                    raise SyntaxError(
+                        "unbounded quantifier {m,} is not supported — "
+                        "give an upper bound"
+                    )
+                upper = int(self.next()[1])
+                self.expect("op", "}")
+                if lower < 1:
+                    raise SyntaxError(
+                        "zero-hop quantifiers ({0,n}) are not supported — "
+                        "use OPTIONAL MATCH for a maybe-absent edge"
+                    )
+            elif self.accept("op", "?"):
+                raise SyntaxError(
+                    "the ? quantifier (zero-or-one edge) is not supported "
+                    "— use OPTIONAL MATCH"
+                )
             right = self._node(q)
             if alias is not None:
                 if alias in q.nodes:
@@ -336,8 +390,16 @@ class _Parser:
                 if any(ep.alias == alias for ep in q.edges):
                     raise SyntaxError(f"duplicate edge alias {alias!r}")
             src, dst = (right, left) if back else (left, right)
+            if linked is not None and (lower is not None or undirected):
+                raise SyntaxError(
+                    "a linked edge ([e:udf(...)]) is single-hop and "
+                    "directed — no quantifier or undirected form"
+                )
             q.edges.append(
-                EdgePat(src, dst, alias, rel, lower, upper, undirected, elimit)
+                EdgePat(
+                    src, dst, alias, rel, lower, upper, undirected, elimit,
+                    linked=linked,
+                )
             )
             left = right
 
@@ -359,6 +421,10 @@ class _Parser:
                 self.concept_filters.append(
                     ("bin", "=", ("ref", alias, "concept"), ("lit", instance))
                 )
+        if self.accept("kw", "where"):
+            # inline node predicate (element_pattern_where_clause,
+            # KGDSL.g4:221) — same placement as a WHERE conjunct
+            self.concept_filters.append(self._expr())
         self.expect("op", ")")
         if any(ep.alias == alias for ep in q.edges):
             raise SyntaxError(f"node alias {alias!r} collides with an edge alias")
@@ -892,7 +958,13 @@ def _traverse(q: Query, graph: PropertyGraph, root: str | None = None) -> DataFr
         # ExpandInto), else any edge touching the bound set
         pick = next((e for e in pending if e.src in bound and e.dst in bound), None)
         if pick is None:
-            pick = next((e for e in pending if e.src in bound or e.dst in bound), None)
+            touching = [e for e in pending if e.src in bound or e.dst in bound]
+            # a linked edge expands forward only — defer it until its
+            # source binds if any other edge can grow the pattern first
+            pick = next(
+                (e for e in touching if e.linked is None or e.src in bound),
+                touching[0] if touching else None,
+            )
         if pick is None:  # disconnected component: cross join its start
             nxt = next(a for a in q.nodes if a not in bound)
             # correct product-pattern semantics, but the overwhelmingly
@@ -1043,6 +1115,37 @@ def _join_edge(
     n: int,
     varlen_constraints: dict | None = None,
 ) -> DataFrame:
+    if e.linked is not None:
+        # LinkedExpand: derived edges from a registered UDTF over the
+        # SOURCE binding's columns — explode stays JVM-side, one row per
+        # produced target id, empty arrays drop (ops.linked_expand is
+        # the standalone form of the same shape)
+        from linkgraph.functions import UDTFS
+
+        fname, fargs = e.linked
+        if fname not in UDTFS:
+            raise ValueError(f"unknown linked-edge UDTF {fname!r}")
+        if e.src not in bound:
+            raise ValueError(
+                f"linked edge {fname}() needs its source alias "
+                f"{e.src!r} bound before it expands"
+            )
+        cols = set(df.columns)
+        args = [
+            a[1] if a[0] == "lit" else _compile_expr(a, cols) for a in fargs
+        ]
+        dstc = f"__d{n}__"
+        out = df.withColumn(dstc, F.explode(UDTFS[fname](*args)))
+        if e.alias:
+            out = out.withColumn(f"{e.alias}__value", F.col(dstc))
+        if e.dst in bound:
+            return out.where(
+                F.col(f"{e.dst}__vid") == F.col(dstc)
+            ).drop(dstc)
+        out = _bind_vertex(out, e.dst, q, graph, dstc)
+        bound.add(e.dst)
+        return out
+
     edf = graph.edge_table(e.rel)
     for k, v in e.props:
         edf = edf.where(F.col(k) == F.lit(v))

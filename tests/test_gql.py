@@ -613,3 +613,73 @@ def test_label_surface_fuzz_deterministic():
             parse(cut)
         except SyntaxError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# round-4 edge surface: {m,n} quantifiers, per_node_limit, inline WHERE,
+# linked edges (KGDSL.g4:197-221)
+# ---------------------------------------------------------------------------
+
+
+def test_brace_quantifier_equals_star_form(g):
+    star = compile_query(
+        "MATCH (a)-[e*1..3]->(b) WHERE a.vid = 1 RETURN DISTINCT b AS b", g
+    ).collect()
+    brace = compile_query(
+        "MATCH (a)-[e]->{1,3}(b) WHERE a.vid = 1 RETURN DISTINCT b AS b", g
+    ).collect()
+    assert {r["b"] for r in star} == {r["b"] for r in brace}
+    # {,n} starts at 1
+    q = parse("MATCH (a)-[e]->{,2}(b) RETURN b AS b")
+    assert (q.edges[0].lower, q.edges[0].upper) == (1, 2)
+    with pytest.raises(SyntaxError, match="zero-hop"):
+        parse("MATCH (a)-[e]->{0,2}(b) RETURN b AS b")
+    with pytest.raises(SyntaxError, match="OPTIONAL"):
+        parse("MATCH (a)-[e]->?(b) RETURN b AS b")
+    with pytest.raises(SyntaxError, match="unbounded"):
+        parse("MATCH (a)-[e]->{2,}(b) RETURN b AS b")
+
+
+def test_per_node_limit_spelling(g):
+    a = compile_query(
+        "MATCH (a)-[e:E limit 1]->(b) RETURN a AS a, b AS b", g
+    ).collect()
+    b = compile_query(
+        "MATCH (a)-[e:E PER_NODE_LIMIT 1]->(b) RETURN a AS a, b AS b", g
+    ).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def test_inline_node_where(g):
+    got = {
+        (r["a"], r["b"])
+        for r in compile_query(
+            "MATCH (a WHERE a.vid >= 3)-[e]->(b WHERE b.name <> 'e') "
+            "RETURN a AS a, b AS b",
+            g,
+        ).collect()
+    }
+    # edges from vid>=3 whose dst isn't 'e'(5): 3->4 only (4->5 excluded)
+    assert got == {(3, 4)}
+
+
+def test_linked_edge_udtf(g):
+    from linkgraph.functions import UDTFS, register_udtf
+
+    if "seq_upto" not in UDTFS:
+        @register_udtf("seq_upto")
+        def _seq_upto(c):
+            return F.sequence(F.lit(1), c)
+    rows = compile_query(
+        "MATCH (a)-[l:seq_upto(a.vid)]->(b) WHERE a.vid = 3 "
+        "RETURN a AS a, b AS b, l.value AS v ORDER BY b ASC",
+        g,
+    ).collect()
+    assert [(r["a"], r["b"], r["v"]) for r in rows] == [
+        (3, 1, 1), (3, 2, 2), (3, 3, 3)
+    ]
+    # parse golden
+    q = parse("MATCH (a)-[l:seq_upto(a.vid, 2)]->(b) RETURN b AS b")
+    assert q.edges[0].linked == (
+        "seq_upto", (("ref", "a", "vid"), ("lit", 2))
+    )
