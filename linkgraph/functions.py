@@ -86,6 +86,27 @@ SCALARS: dict[str, Callable[..., Column]] = {
         F.zip_with(F.slice(arr, 1, F.size(arr) - 1), F.slice(arr, 2, F.size(arr) - 1), pred),
         lambda ok: ok,
     ),
+    # path/list ops (ListOpExpr / PathOpExpr — Expr.scala:125-145,
+    # RuleExprParser.scala:516-650). Get is 0-based; a negative index
+    # counts from the end (tail() parses to Get(-1) in the reference).
+    "repeat_nodes": lambda arr: F.concat(
+        F.array(arr[0]["src"]), F.transform(arr, lambda x: x["dst"])
+    ),
+    "list_get": lambda arr, i: F.element_at(
+        arr, int(i) + 1 if int(i) >= 0 else int(i)
+    ),
+    # Slice(start, end): elements [start, end) 0-based
+    "list_slice": lambda arr, a, b: F.slice(arr, int(a) + 1, int(b) - int(a)),
+    "list_accumulate": lambda arr, op: (
+        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        if op == "+"
+        else F.aggregate(
+            arr, F.lit(1.0), lambda acc, x: acc * x.cast("double")
+        )
+    ),
+    "list_str_join": lambda arr, sep: F.array_join(
+        F.transform(arr, lambda x: x.cast("string")), sep
+    ),
 }
 
 # --------------------------------------------------------------------------

@@ -587,6 +587,8 @@ def _contains_agg(e) -> bool:
         return _contains_agg(e[1])
     if e[0] == "func":
         return any(_contains_agg(a) for a in e[2])
+    if e[0] == "getfield":
+        return _contains_agg(e[1])
     if e[0] == "in" and isinstance(e[2], list):
         return _contains_agg(e[1]) or any(_contains_agg(a) for a in e[2])
     if e[0] == "in":
@@ -619,6 +621,8 @@ def bind_params(e, params: dict):
         return ("not", bind_params(e[1], params))
     if e[0] == "func":
         return ("func", e[1], [bind_params(a, params) for a in e[2]])
+    if e[0] == "getfield":
+        return ("getfield", bind_params(e[1], params), e[2])
     if e[0] == "lambda":  # bind inside the body; params of the lambda stay
         return ("lambda", e[1], bind_params(e[2], params))
     return e
@@ -644,6 +648,8 @@ def _collect_params(e, out: set[str]) -> set[str]:
     elif e[0] == "func":
         for a in e[2]:
             _collect_params(a, out)
+    elif e[0] == "getfield":
+        _collect_params(e[1], out)
     elif e[0] == "lambda":
         _collect_params(e[2], out)
     return out
@@ -709,6 +715,8 @@ def _compile_expr(e, cols: set[str]) -> Column:
         return _BIN_OPS[e[1]](_compile_expr(e[2], cols), _compile_expr(e[3], cols))
     if kind == "not":
         return ~_compile_expr(e[1], cols)
+    if kind == "getfield":  # struct-field access (GetField, Expr.scala:317)
+        return _compile_expr(e[1], cols)[e[2]]
     if kind == "func":
         name, args = e[1], e[2]
         if name == "count" and len(args) == 1 and args[0] == ("star",):
@@ -811,6 +819,8 @@ def _expr_refs(e, out: set[str]) -> set[str]:
     elif e[0] == "func":
         for a in e[2]:
             _expr_refs(a, out)
+    elif e[0] == "getfield":
+        _expr_refs(e[1], out)
     elif e[0] == "in":
         _expr_refs(e[1], out)
         if isinstance(e[2], list):
@@ -849,6 +859,8 @@ def _expr_aliases(e, out: set[str]) -> set[str]:
     elif e[0] == "func":
         for a in e[2]:
             _expr_aliases(a, out)
+    elif e[0] == "getfield":
+        _expr_aliases(e[1], out)
     elif e[0] == "in":
         _expr_aliases(e[1], out)
         if isinstance(e[2], list):

@@ -316,11 +316,19 @@ class _ExprParser(gql._Parser):
         while (
             self.peek() == ("op", ".")
             and self.toks[self.i + 1][0] == "name"
-            and self.toks[self.i + 2] == ("op", "(")
         ):
-            self.next()  # .
-            name = self.next()[1]
-            obj = self._method(obj, name)
+            if self.toks[self.i + 2] == ("op", "("):
+                self.next()  # .
+                name = self.next()[1]
+                obj = self._method(obj, name)
+                continue
+            if obj[0] == "func":
+                # struct-field access on a computed value, e.g.
+                # e.edges().get(0).src (GetField, Expr.scala:317)
+                self.next()
+                obj = ("getfield", obj, self.next()[1])
+                continue
+            break
         return obj
 
     def _method(self, obj, name: str):
@@ -378,6 +386,41 @@ class _ExprParser(gql._Parser):
             if args:
                 raise SyntaxError("length() takes no args")
             return ("func", "repeat_edge_length", [obj])
+        # list ops (ListOpExpr, RuleExprParser.scala:516-650) — chainable
+        # on any list value (.edges(), .nodes(), a slice, ...)
+        if low == "nodes":
+            if args or obj[0] != "ref" or obj[2] is not None:
+                raise SyntaxError("nodes() takes no args and applies to an alias")
+            return ("func", "repeat_nodes", [("ref", obj[1], "path")])
+        if low == "get":
+            if len(args) != 1 or args[0][0] != "lit":
+                raise SyntaxError("get() takes one integer literal index")
+            return ("func", "list_get", [obj, args[0]])
+        if low == "head":  # head(k) == Get(k), default 0 (the first)
+            if len(args) > 1 or (args and args[0][0] != "lit"):
+                raise SyntaxError("head() takes at most one integer literal")
+            k = int(args[0][1]) if args else 0
+            return ("func", "list_get", [obj, ("lit", k)])
+        if low == "tail":  # tail(k) == Get(k-1), default -> Get(-1) (last)
+            if len(args) > 1 or (args and args[0][0] != "lit"):
+                raise SyntaxError("tail() takes at most one integer literal")
+            k = int(args[0][1]) if args else 0
+            return ("func", "list_get", [obj, ("lit", k - 1)])
+        if low == "slice":
+            if len(args) != 2 or any(a[0] != "lit" for a in args):
+                raise SyntaxError("slice() takes two integer literals")
+            return ("func", "list_slice", [obj, args[0], args[1]])
+        if low == "accumulate":
+            if len(args) != 1 or args[0][0] != "lit" or args[0][1] not in ("+", "*"):
+                raise SyntaxError("accumulate() takes '+' or '*'")
+            return ("func", "list_accumulate", [obj, args[0]])
+        if low == "str_join":
+            # the reference PARSER rejects str_join on lists
+            # (RuleExprParser.scala:641 UnsupportedOperationException);
+            # we lower it to array_join instead — strictly more capable
+            if len(args) != 1 or args[0][0] != "lit":
+                raise SyntaxError("str_join() takes one string literal")
+            return ("func", "list_str_join", [obj, args[0]])
         raise SyntaxError(f"unknown path method .{name}()")
 
     def _lambda_or_expr(self):
@@ -460,6 +503,8 @@ def _contains_groupop(e) -> bool:
         return _contains_groupop(e[1])
     if e[0] == "func":
         return any(_contains_groupop(a) for a in e[2])
+    if e[0] == "getfield":
+        return _contains_groupop(e[1])
     if e[0] == "in" and isinstance(e[2], list):
         return _contains_groupop(e[1]) or any(_contains_groupop(a) for a in e[2])
     if e[0] == "in":

@@ -1149,3 +1149,57 @@ def test_gql_chain_label_alternation(spark):
         g,
     )
     assert [(r["s_id"], r["o_id"]) for r in res.table.collect()] == [("x", "y")]
+
+
+def test_path_list_ops(fund_graph):
+    """ListOpExpr family (RuleExprParser.scala:516-650): get/head/tail
+    on edges(), nodes() with get/str_join/accumulate, struct-field
+    access on a computed element."""
+    res = run_script(
+        """
+GraphStructure {
+    a [Account, __start__='true']
+    a -> b [transfer] repeat(2,2) as e1
+}
+Rule {
+    R0: a.vid == 1
+    f = e1.edges().get(0).dst
+    l = e1.edges().tail().dst
+    n2 = e1.nodes().get(1)
+    s = e1.nodes().str_join('-')
+    acc = e1.nodes().accumulate('+')
+}
+Action { get(a.vid, b.vid, f, l, n2, s, acc) }
+""",
+        fund_graph,
+    )
+    got = {
+        (r["a_vid"], r["b_vid"], r["f"], r["l"], r["n2"], r["s"], r["acc"])
+        for r in res.table.collect()
+    }
+    # 2-hop paths from vid 1: 1-2-3, 1-2-1, 1-3-4
+    assert got == {
+        (1, 3, 2, 3, 2, "1-2-3", 6.0),
+        (1, 1, 2, 1, 2, "1-2-1", 4.0),
+        (1, 4, 3, 4, 3, "1-3-4", 8.0),
+    }
+
+
+def test_path_slice_and_head(fund_graph):
+    res = run_script(
+        """
+GraphStructure {
+    a [Account, __start__='true']
+    a -> b [transfer] repeat(2,2) as e1
+}
+Rule {
+    R0: a.vid == 1
+    h = e1.edges().head().src
+    sl = e1.edges().slice(0,1).length()
+}
+Action { get(b.vid, h, sl) }
+""",
+        fund_graph,
+    )
+    got = {(r["b_vid"], r["h"], r["sl"]) for r in res.table.collect()}
+    assert got == {(3, 1, 1), (1, 1, 1), (4, 1, 1)}
