@@ -842,6 +842,34 @@ Action { get(a.vid, b.vid) }
     return res.table
 
 
+def _k7_kgdsl_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optional pattern edges (__optional__='true' —
+    TransitiveOptionalTest.java:150-154): unmatched sources keep a row
+    with NULL target columns; the inline w=3 property constraint
+    applies to the optional edge before the left join."""
+    from linkgraph.gql import PropertyGraph
+    from linkgraph.kgdsl import run_script
+
+    e = _edges(spark, sf_dir).withColumn(
+        "w", (F.col("src") + F.col("dst")) % 7
+    )
+    v = e.select(F.col("src").alias("vid")).union(e.select("dst")).distinct()
+    g = PropertyGraph({"V": v}, {"E": e})
+    res = run_script(
+        """
+GraphStructure {
+    a [V, __start__='true']
+    b [V]
+    a -> b [E, w=3, __optional__='true']
+}
+Rule { R0: a.vid < 30 }
+Action { get(a.vid, b.vid) }
+""",
+        g,
+    )
+    return res.table
+
+
 def _k5_kgdsl_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OrderAndSlice as a KGDSL Rule
     (group(a).desc(b.vid).limit(2) — KgReasonerTopKFilmTest.java:85
@@ -1130,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_gql_quantifier": _p7_gql_quantifier,
         "p8_gql_linked": _p8_gql_linked,
         "k6_kgdsl_edge_props": _k6_kgdsl_edge_props,
+        "k7_kgdsl_optional": _k7_kgdsl_optional,
         "t2_thinker_concept_rule": _t2_thinker_concept_rule,
         "t3_thinker_priority": _t3_thinker_priority,
         "g_degree_topk": _g_degree_topk,
@@ -1166,8 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_join_topk": _q2_join_topk,
         "q3_topk_per_group": _q3_topk_per_group,
         "q4_optional": _q4_optional,
-        "q5_anti": _q5_anti,
         # ---- driver recording window (50) typically ends here ----
+        "q5_anti": _q5_anti,
         "q6_semi": _q6_semi,
         "q7_union": _q7_union,
         "q8_fold_concat": _q8_fold_concat,
@@ -2018,6 +2047,14 @@ SELECT src AS a_vid, dst AS b_vid FROM ranked WHERE rn <= 2""",
 WITH edges AS ({EDGES_SQL})
 SELECT src AS a_vid, dst AS b_vid FROM edges
 WHERE (src + dst) % 7 = 3 AND src < 50""",
+        "k7_kgdsl_optional": f"""
+WITH edges AS ({EDGES_SQL}),
+verts AS ({VERTS_SQL})
+SELECT v.vid AS a_vid, e.dst AS b_vid
+FROM verts v
+LEFT JOIN (SELECT src, dst FROM edges WHERE (src + dst) % 7 = 3) e
+  ON e.src = v.vid
+WHERE v.vid < 30""",
         "t1_thinker_reach": """
 WITH RECURSIVE e AS (
   SELECT DISTINCT l_orderkey % 211 AS src, l_partkey % 211 AS dst

@@ -86,6 +86,11 @@ SCALARS: dict[str, Callable[..., Column]] = {
         F.zip_with(F.slice(arr, 1, F.size(arr) - 1), F.slice(arr, 2, F.size(arr) - 1), pred),
         lambda ok: ok,
     ),
+    # exist(B)/exists(B): is the (optional) alias bound on this row
+    # (exist_operator KGDSL.g4:604; TransitiveOptionalTest.java:1161 —
+    # the bare-alias ref compiles to the alias vid column)
+    "exist": lambda c: c.isNotNull(),
+    "exists": lambda c: c.isNotNull(),
     # path/list ops (ListOpExpr / PathOpExpr — Expr.scala:125-145,
     # RuleExprParser.scala:516-650). Get is 0-based; a negative index
     # counts from the end (tail() parses to Get(-1) in the reference).

@@ -205,6 +205,11 @@ class Statement:
     propsets: list = field(default_factory=list)  # (alias, prop, expr AST)
     path_names: set = field(default_factory=set)  # named paths (path1: (s)-...)
     body_aliases: set = field(default_factory=set)  # aliases the body mentions
+    # optional pattern edges (__optional__='true' edge attr /
+    # `OPTIONAL path1: ...` — TransitiveOptionalTest.java:150-154,
+    # path_condition KGDSL.g4:184): left-joined AFTER the mandatory
+    # traversal, in declaration order
+    optional_edges: list = field(default_factory=list)
     # per-group row filters (OrderAndSliceBlock / keep_*_path rules):
     # ("topk", aliases, [(expr, asc)], limit) |
     # ("keep_path", aliases, edge_alias, "longest"|"shortest")
@@ -230,7 +235,7 @@ class Statement:
     @property
     def consumed(self) -> set[str]:
         out: set[str] = set()
-        for e in self.query.edges:
+        for e in list(self.query.edges) + list(self.optional_edges):
             if isinstance(e.rel, tuple):
                 out |= set(e.rel)
             elif e.rel is not None:
@@ -671,6 +676,17 @@ class _ScriptParser:
 
     def _parse_graph_structure(self, stmt: Statement, toks) -> None:
         for line in _split_lines(toks):
+            optional_chain = False
+            if (
+                len(line) > 1
+                and line[0][0] == "name"
+                and line[0][1].upper() == "OPTIONAL"
+                and (line[1][0] == "name" or line[1] == ("op", "("))
+            ):
+                # `OPTIONAL [path1:] (s)-[e]->(o)` (path_condition,
+                # KGDSL.g4:184): the whole chain left-joins
+                optional_chain = True
+                line = line[1:]
             # named path declaration (KGDSL 1.0 compat, KGDSL.g4:30
             # comment: `path1: (s)-[p1:x]->(end:y)`): record the name,
             # parse the chain; a Rule line that is just the bare name is
@@ -689,11 +705,20 @@ class _ScriptParser:
                 # comma-chained patterns may share a line; _pattern_chain
                 # consumes one chain, commas continue it (gql behavior)
                 p = _PatternParser(list(line) + [("eof", "")])
-                p._pattern_chain(stmt.query)
+                target = gql.Query() if optional_chain else stmt.query
+                p._pattern_chain(target)
                 while p.accept("op", ","):
-                    p._pattern_chain(stmt.query)
+                    p._pattern_chain(target)
                 if p.peek()[0] != "eof":
                     raise SyntaxError(f"trailing tokens in pattern: {p.peek()}")
+                if optional_chain:
+                    stmt.optional_edges.extend(target.edges)
+                    for a, n in target.nodes.items():
+                        prev = stmt.query.nodes.get(a)
+                        if prev is None or (
+                            prev.label is None and n.label is not None
+                        ):
+                            stmt.query.nodes[a] = n
                 stmt.filters.extend(p.concept_filters)
                 stmt.body_aliases |= p.seen_aliases
             else:
@@ -701,7 +726,7 @@ class _ScriptParser:
                 # trc1, FinBenchTest.java:86-92):
                 #   alias [Label, prop='v', __start__='true']
                 #   a -> b [type1, type2] repeat(1,3) as e   (also <->)
-                self._parse_arrow_line(stmt, line)
+                self._parse_arrow_line(stmt, line, optional=optional_chain)
 
     def _parse_bracket_list(self, p):
         """``[Label[, Label2...][, key=value...]]`` (label_property_list,
@@ -730,7 +755,9 @@ class _ScriptParser:
         p.expect("op", "]")
         return labels, props
 
-    def _parse_arrow_line(self, stmt: Statement, line) -> None:
+    def _parse_arrow_line(
+        self, stmt: Statement, line, optional: bool = False
+    ) -> None:
         p = _ExprParser(list(line) + [("eof", "")])
         left = p.expect("name")[1]
         if "." in left:
@@ -785,12 +812,20 @@ class _ScriptParser:
         eprops: tuple = ()
         if p.accept("op", "["):
             # `[type1, type2, key=value...]` — types then inline edge
-            # property constraints (define_one_edge, KGDSL.g4:117-119)
+            # property constraints (define_one_edge, KGDSL.g4:117-119);
+            # __optional__='true' marks the edge optional
+            # (TransitiveOptionalTest.java:150-154)
             rels, props = self._parse_bracket_list(p)
             if not rels:
                 raise SyntaxError("edge [...] list needs at least one type")
             rel = rels[0] if len(rels) == 1 else tuple(rels)
-            eprops = tuple(props)
+            kept = []
+            for k, v in props:
+                if k == "__optional__":
+                    optional = optional or str(v).lower() == "true"
+                else:
+                    kept.append((k, v))
+            eprops = tuple(kept)
         lower = upper = None
         if p.peek() == ("name", "repeat"):
             p.next()
@@ -809,11 +844,13 @@ class _ScriptParser:
         src, dst = (right, left) if arrow == ("op", "<-") else (left, right)
         for a in (src, dst):
             stmt.query.nodes.setdefault(a, gql.NodePat(a, None))
-        stmt.query.edges.append(
-            gql.EdgePat(
-                src, dst, alias, rel, lower, upper, undirected, props=eprops
-            )
+        ep = gql.EdgePat(
+            src, dst, alias, rel, lower, upper, undirected, props=eprops
         )
+        if optional:
+            stmt.optional_edges.append(ep)
+        else:
+            stmt.query.edges.append(ep)
 
     def _parse_rule(self, stmt: Statement, toks) -> None:
         for line in _split_lines(toks):
@@ -1220,17 +1257,106 @@ def _bind_stmt_params(stmt: Statement, params: dict | None) -> Statement:
 
 def _matched(stmt: Statement, graph: gql.PropertyGraph) -> DataFrame:
     """Traverse the GraphStructure pattern with Rule filters placed as
-    early as their columns bind (the gql planner does the placement)."""
+    early as their columns bind (the gql planner does the placement);
+    optional edges left-join afterwards in declaration order, and
+    conjuncts touching optional aliases apply after those joins (SQL
+    3-valued: a NULL comparison is false — exists()/exist() make the
+    presence test explicit, TransitiveOptionalTest.java:1161)."""
     lets = _resolve_lets(stmt)
     q = stmt.query
     q.where = None
     conj = [_inline_lets(f2, lets) for f2 in stmt.filters]
+    post: list = []
+    all_nodes = dict(q.nodes)
+    if stmt.optional_edges:
+        # an alias whose only pattern connections are optional edges
+        # binds through the left joins; the root always scans mandatory
+        mand = {a for e in q.edges for a in (e.src, e.dst)}
+        if stmt.root is not None:
+            mand.add(stmt.root)
+        opt_only = {
+            a
+            for e in stmt.optional_edges
+            for a in (e.src, e.dst)
+            if a not in mand
+        }
+        q.nodes = {a: n for a, n in q.nodes.items() if a not in opt_only}
+        keep = []
+        for c in conj:
+            refs = {
+                r.split("__", 1)[0] for r in gql._expr_refs(c, set())
+            }
+            (post if refs & opt_only else keep).append(c)
+        conj = keep
     for c in conj:
         q.where = c if q.where is None else ("bin", "and", q.where, c)
     df = gql._traverse(q, graph, root=stmt.root)
+    for e in stmt.optional_edges:
+        df = _optional_join(df, e, all_nodes, graph)
+    for c in post:
+        df = df.where(gql._compile_expr(c, set(df.columns)))
     for gf in stmt.group_filters:
         df = _apply_group_filter(df, gf, lets)
     return df
+
+
+def _optional_join(
+    df: DataFrame, e: gql.EdgePat, nodes: dict, graph: gql.PropertyGraph
+) -> DataFrame:
+    """Left-join one optional edge (plus its unbound endpoint's vertex
+    table) onto the binding table — the Optional operator as an outer
+    join; an unmatched row keeps NULLs for the edge/endpoint columns."""
+    if e.is_varlen:
+        raise SyntaxError(
+            "optional var-len edges are not supported — make the hop "
+            "mandatory or bound"
+        )
+    edf = graph.edge_table(e.rel)
+    for k, v in e.props:
+        edf = edf.where(F.col(k) == F.lit(v))
+    if e.undirected:
+        props = [c for c in edf.columns if c not in ("src", "dst")]
+        edf = edf.unionByName(
+            edf.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), *props
+            )
+        )
+    srcc, dstc = "__os__", "__od__"
+    sel = [F.col("src").alias(srcc), F.col("dst").alias(dstc)]
+    if e.alias:
+        sel += [
+            F.col(c).alias(f"{e.alias}__{c}")
+            for c in edf.columns
+            if c not in ("src", "dst")
+        ]
+    right = edf.select(*sel)
+    have_src = f"{e.src}__vid" in df.columns
+    have_dst = f"{e.dst}__vid" in df.columns
+    if not have_src and not have_dst:
+        raise ValueError(
+            f"optional edge {e.src}->{e.dst} has no bound endpoint — "
+            "declare optional edges so each chains off a bound alias"
+        )
+    # bind the free endpoint's vertex table INTO the right side first,
+    # so one left join brings edge + vertex (or all-NULL together)
+    for alias, col in ((e.src, srcc), (e.dst, dstc)):
+        if f"{alias}__vid" in df.columns:
+            continue
+        label = nodes[alias].label if alias in nodes else None
+        vt = graph.vertex_table(label)
+        renamed = vt.select(
+            *[F.col(c).alias(f"{alias}__{c}") for c in vt.columns]
+        )
+        right = right.join(
+            renamed, F.col(col) == F.col(f"{alias}__vid")
+        )
+    cond = None
+    if have_src:
+        cond = F.col(f"{e.src}__vid") == F.col(srcc)
+    if have_dst:
+        c2 = F.col(f"{e.dst}__vid") == F.col(dstc)
+        cond = c2 if cond is None else (cond & c2)
+    return df.join(right, cond, "left").drop(srcc, dstc)
 
 
 def _apply_group_filter(df: DataFrame, gf, lets: dict) -> DataFrame:

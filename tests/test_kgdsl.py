@@ -1203,3 +1203,93 @@ Action { get(b.vid, h, sl) }
     )
     got = {(r["b_vid"], r["h"], r["sl"]) for r in res.table.collect()}
     assert got == {(3, 1, 1), (1, 1, 1), (4, 1, 1)}
+
+
+@pytest.fixture()
+def optional_graph(spark):
+    """TransitiveOptionalTest.java:147-161 shape: A with optional
+    fan-out, D->F mandatory."""
+    mk = lambda *ids: spark.createDataFrame(  # noqa: E731
+        [(i, f"n{i}") for i in ids], "vid bigint, name string"
+    )
+    return PropertyGraph(
+        {"a": mk(1, 2), "b": mk(10), "c": mk(20), "d": mk(30), "e": mk(40),
+         "f": mk(50)},
+        {
+            "ab": spark.createDataFrame([(1, 10)], "src bigint, dst bigint"),
+            "ac": spark.createDataFrame([(1, 20)], "src bigint, dst bigint"),
+            "ce": spark.createDataFrame([(20, 40)], "src bigint, dst bigint"),
+            "ad": spark.createDataFrame(
+                [(1, 30), (2, 30)], "src bigint, dst bigint"
+            ),
+            "df": spark.createDataFrame([(30, 50)], "src bigint, dst bigint"),
+        },
+    )
+
+
+def test_optional_edges_left_join(optional_graph):
+    # A=2 has no ab/ac edges -> NULL B/C but still a row (the whole
+    # point of __optional__); chained optional C->E follows C's NULLs
+    res = run_script(
+        """
+GraphStructure {
+  A [a, __start__='true']
+  B [b]
+  C [c]
+  E [e]
+  A -> B [ab, __optional__='true']
+  A -> C [ac, __optional__='true']
+  C -> E [ce, __optional__='true']
+}
+Rule { }
+Action { get(A.name, B.name, C.name, E.name) }
+""",
+        optional_graph,
+    )
+    got = {tuple(r) for r in res.table.collect()}
+    assert got == {
+        ("n1", "n10", "n20", "n40"),
+        ("n2", None, None, None),
+    }
+
+
+def test_optional_chain_form_and_exists_rule(optional_graph):
+    # OPTIONAL named-path chain + exist()/exists() rule
+    # (TransitiveOptionalTest.java:1161 shape)
+    res = run_script(
+        """
+GraphStructure {
+  A [a, __start__='true']
+  OPTIONAL p1: (A)-[e1:ab]->(B:b)
+}
+Rule {
+  R2: (exists(B) and B.name == 'n10') or (not exist(B))
+}
+Action { get(A.name, B.name) }
+""",
+        optional_graph,
+    )
+    got = {tuple(r) for r in res.table.collect()}
+    assert got == {("n1", "n10"), ("n2", None)}
+
+
+def test_optional_mandatory_mix(optional_graph):
+    # mandatory A->D->F narrows to A=1,2; optional B rides along
+    res = run_script(
+        """
+GraphStructure {
+  A [a, __start__='true']
+  B [b]
+  D [d]
+  F [f]
+  A -> B [ab, __optional__='true']
+  A -> D [ad]
+  D -> F [df]
+}
+Rule { }
+Action { get(A.name, B.name, F.name) }
+""",
+        optional_graph,
+    )
+    got = {tuple(r) for r in res.table.collect()}
+    assert got == {("n1", "n10", "n50"), ("n2", None, "n50")}
