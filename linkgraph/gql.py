@@ -309,8 +309,15 @@ class _Parser:
             alias = rel = linked = None
             lower = upper = elimit = None
             if self.accept("op", "["):
-                if self.peek()[0] == "name" and self.toks[self.i + 1] != (
-                    "op", "("
+                if (
+                    self.peek()[0] == "name"
+                    and self.toks[self.i + 1] != ("op", "(")
+                    # `[per_node_limit 3]` with no alias/type: the
+                    # keyword is not an edge alias
+                    and not (
+                        self.peek()[1].lower() == "per_node_limit"
+                        and self.toks[self.i + 1][0] == "num"
+                    )
                 ):
                     alias = self.next()[1]
                 if self.accept("op", ":"):
@@ -1132,11 +1139,9 @@ def _join_edge(
         # SOURCE binding's columns — explode stays JVM-side, one row per
         # produced target id, empty arrays drop (ops.linked_expand is
         # the standalone form of the same shape)
-        from linkgraph.functions import UDTFS
+        from linkgraph.ops import linked_expand
 
         fname, fargs = e.linked
-        if fname not in UDTFS:
-            raise ValueError(f"unknown linked-edge UDTF {fname!r}")
         if e.src not in bound:
             raise ValueError(
                 f"linked edge {fname}() needs its source alias "
@@ -1147,7 +1152,7 @@ def _join_edge(
             a[1] if a[0] == "lit" else _compile_expr(a, cols) for a in fargs
         ]
         dstc = f"__d{n}__"
-        out = df.withColumn(dstc, F.explode(UDTFS[fname](*args)))
+        out = linked_expand(df, fname, *args, out=dstc, limit=e.limit)
         if e.alias:
             out = out.withColumn(f"{e.alias}__value", F.col(dstc))
         if e.dst in bound:

@@ -210,6 +210,11 @@ class Statement:
     # path_condition KGDSL.g4:184): left-joined AFTER the mandatory
     # traversal, in declaration order
     optional_edges: list = field(default_factory=list)
+    # node-line declaration constraints (props / concept qualifiers) as
+    # (alias, expr): PATTERN constraints — for an optional-only alias
+    # they apply inside the left join's right side, never as a post-join
+    # WHERE (which would silently make the edge mandatory)
+    node_constraints: list = field(default_factory=list)
     # per-group row filters (OrderAndSliceBlock / keep_*_path rules):
     # ("topk", aliases, [(expr, asc)], limit) |
     # ("keep_path", aliases, edge_alias, "longest"|"shortest")
@@ -247,6 +252,8 @@ class Statement:
         refs: set[str] = set()
         for f2 in self.filters:
             gql._expr_refs(f2, refs)
+        for _a, ex in self.node_constraints:
+            gql._expr_refs(ex, refs)
         for ex in self.lets.values():
             gql._expr_refs(ex, refs)
         for gf in self.group_filters:
@@ -393,28 +400,50 @@ class _ExprParser(gql._Parser):
             return ("func", "repeat_edge_length", [obj])
         # list ops (ListOpExpr, RuleExprParser.scala:516-650) — chainable
         # on any list value (.edges(), .nodes(), a slice, ...)
+        def _int_lit(a):
+            # integerLiteral_full: minus_sign? int — a leading '-'
+            # parses as unary minus in our expression grammar
+            if a[0] == "lit" and isinstance(a[1], (int, float)):
+                return int(a[1])
+            if (
+                a[0] == "bin"
+                and a[1] == "-"
+                and a[2] == ("lit", 0)
+                and a[3][0] == "lit"
+            ):
+                return -int(a[3][1])
+            return None
+
         if low == "nodes":
             if args or obj[0] != "ref" or obj[2] is not None:
                 raise SyntaxError("nodes() takes no args and applies to an alias")
             return ("func", "repeat_nodes", [("ref", obj[1], "path")])
         if low == "get":
-            if len(args) != 1 or args[0][0] != "lit":
+            if len(args) != 1 or _int_lit(args[0]) is None:
                 raise SyntaxError("get() takes one integer literal index")
-            return ("func", "list_get", [obj, args[0]])
+            return ("func", "list_get", [obj, ("lit", _int_lit(args[0]))])
         if low == "head":  # head(k) == Get(k), default 0 (the first)
-            if len(args) > 1 or (args and args[0][0] != "lit"):
+            if len(args) > 1 or (args and _int_lit(args[0]) is None):
                 raise SyntaxError("head() takes at most one integer literal")
-            k = int(args[0][1]) if args else 0
+            k = _int_lit(args[0]) if args else 0
             return ("func", "list_get", [obj, ("lit", k)])
-        if low == "tail":  # tail(k) == Get(k-1), default -> Get(-1) (last)
-            if len(args) > 1 or (args and args[0][0] != "lit"):
+        if low == "tail":
+            # tail() -> Get(-1) (last); tail(k) -> Get(k-1) — the
+            # REFERENCE's own mapping (RuleExprParser.scala:554
+            # parseListTailEleOp subtracts 1 from the literal), kept
+            # verbatim for parity even though tail(1) therefore reads
+            # the FIRST element; use get(-k) for k-th-from-end
+            if len(args) > 1 or (args and _int_lit(args[0]) is None):
                 raise SyntaxError("tail() takes at most one integer literal")
-            k = int(args[0][1]) if args else 0
+            k = _int_lit(args[0]) if args else 0
             return ("func", "list_get", [obj, ("lit", k - 1)])
         if low == "slice":
-            if len(args) != 2 or any(a[0] != "lit" for a in args):
-                raise SyntaxError("slice() takes two integer literals")
-            return ("func", "list_slice", [obj, args[0], args[1]])
+            ix = [_int_lit(a) for a in args]
+            if len(args) != 2 or any(i is None or i < 0 for i in ix):
+                raise SyntaxError(
+                    "slice() takes two non-negative integer literals"
+                )
+            return ("func", "list_slice", [obj, ("lit", ix[0]), ("lit", ix[1])])
         if low == "accumulate":
             if len(args) != 1 or args[0][0] != "lit" or args[0][1] not in ("+", "*"):
                 raise SyntaxError("accumulate() takes '+' or '*'")
@@ -719,7 +748,10 @@ class _ScriptParser:
                             prev.label is None and n.label is not None
                         ):
                             stmt.query.nodes[a] = n
-                stmt.filters.extend(p.concept_filters)
+                # concept qualifiers are PATTERN constraints on their
+                # alias (matters for optional-only aliases)
+                for c in p.concept_filters:
+                    stmt.node_constraints.append((c[2][1], c))
                 stmt.body_aliases |= p.seen_aliases
             else:
                 # arrow-DSL form (KGDSL.g4:118 one_edge_pattern; FinBench
@@ -793,8 +825,8 @@ class _ScriptParser:
                         if str(val).lower() == "true":
                             stmt.root = alias  # START_ALIAS analog
                     else:
-                        stmt.filters.append(
-                            ("bin", "=", ("ref", alias, key), ("lit", val))
+                        stmt.node_constraints.append(
+                            (alias, ("bin", "=", ("ref", alias, key), ("lit", val)))
                         )
                 prev = stmt.query.nodes.get(alias)
                 if prev is None or (prev.label is None and label is not None):
@@ -1093,6 +1125,8 @@ def _fix_varlen_refs(stmt: Statement) -> None:
             return ("in", fix(e[1]), [fix(a) for a in e[2]])
         if e[0] == "in":
             return ("in", fix(e[1]), e[2])
+        if e[0] == "getfield":
+            return ("getfield", fix(e[1]), e[2])
         return e
 
     stmt.filters = [fix(f2) for f2 in stmt.filters]
@@ -1144,6 +1178,8 @@ def _inline_lets(e, lets: dict):
         return ("in", _inline_lets(e[1], lets), [_inline_lets(a, lets) for a in e[2]])
     if e[0] == "in":
         return ("in", _inline_lets(e[1], lets), e[2])
+    if e[0] == "getfield":
+        return ("getfield", _inline_lets(e[1], lets), e[2])
     return e
 
 
@@ -1232,6 +1268,9 @@ def _bind_stmt_params(stmt: Statement, params: dict | None) -> Statement:
     parsed script must be reusable with different params."""
     p = params or {}
     stmt.filters = [gql.bind_params(f2, p) for f2 in stmt.filters]
+    stmt.node_constraints = [
+        (a, gql.bind_params(ex, p)) for a, ex in stmt.node_constraints
+    ]
     stmt.lets = {k: gql.bind_params(v, p) for k, v in stmt.lets.items()}
     stmt.aggs = {
         k: (aliases, fn, [gql.bind_params(a, p) for a in args])
@@ -1266,7 +1305,11 @@ def _matched(stmt: Statement, graph: gql.PropertyGraph) -> DataFrame:
     q = stmt.query
     q.where = None
     conj = [_inline_lets(f2, lets) for f2 in stmt.filters]
+    node_cons = [
+        (a, _inline_lets(ex, lets)) for a, ex in stmt.node_constraints
+    ]
     post: list = []
+    opt_cons: dict[str, list] = {}
     all_nodes = dict(q.nodes)
     if stmt.optional_edges:
         # an alias whose only pattern connections are optional edges
@@ -1281,27 +1324,70 @@ def _matched(stmt: Statement, graph: gql.PropertyGraph) -> DataFrame:
             if a not in mand
         }
         q.nodes = {a: n for a, n in q.nodes.items() if a not in opt_only}
+        if not q.nodes:
+            raise ValueError(
+                "every pattern edge is optional and no __start__ root is "
+                "set — mark one alias __start__='true' or make an edge "
+                "mandatory"
+            )
+        # Rule conjuncts touching optional aliases (node OR edge) apply
+        # after the left joins, with SQL 3-valued semantics (write
+        # `not exist(B) or ...` for the maybe-absent case)
+        opt_names = opt_only | {
+            e.alias for e in stmt.optional_edges if e.alias
+        }
         keep = []
         for c in conj:
             refs = {
                 r.split("__", 1)[0] for r in gql._expr_refs(c, set())
             }
-            (post if refs & opt_only else keep).append(c)
+            (post if refs & opt_names else keep).append(c)
         conj = keep
+        # declaration constraints on an optional-only alias are PATTERN
+        # constraints: they filter the left join's right side, so an
+        # unmatched row keeps its NULLs instead of being dropped
+        remaining_cons = []
+        for a, ex in node_cons:
+            if a in opt_only:
+                opt_cons.setdefault(a, []).append(ex)
+            else:
+                remaining_cons.append((a, ex))
+        node_cons = remaining_cons
+    conj = conj + [ex for _a, ex in node_cons]
     for c in conj:
         q.where = c if q.where is None else ("bin", "and", q.where, c)
     df = gql._traverse(q, graph, root=stmt.root)
     for e in stmt.optional_edges:
-        df = _optional_join(df, e, all_nodes, graph)
+        df = _optional_join(df, e, all_nodes, graph, opt_cons)
+    # a BARE optional-edge-alias ref (exist(e1)) reads the edge's src
+    # marker column — NULL exactly when the left join found no match
+    opt_edge_aliases = {e.alias for e in stmt.optional_edges if e.alias}
+
+    def _fix_bare_edge(c):
+        if not isinstance(c, tuple):
+            return c
+        if c[0] == "ref" and c[2] is None and c[1] in opt_edge_aliases:
+            return ("ref", c[1], "src")
+        return tuple(
+            _fix_bare_edge(x) if isinstance(x, tuple) else (
+                [_fix_bare_edge(y) for y in x] if isinstance(x, list) else x
+            )
+            for x in c
+        )
+
     for c in post:
-        df = df.where(gql._compile_expr(c, set(df.columns)))
+        df = df.where(gql._compile_expr(_fix_bare_edge(c), set(df.columns)))
     for gf in stmt.group_filters:
         df = _apply_group_filter(df, gf, lets)
     return df
 
 
 def _optional_join(
-    df: DataFrame, e: gql.EdgePat, nodes: dict, graph: gql.PropertyGraph
+    df: DataFrame,
+    e: gql.EdgePat,
+    nodes: dict,
+    graph: gql.PropertyGraph,
+    opt_cons: dict | None = None,
 ) -> DataFrame:
     """Left-join one optional edge (plus its unbound endpoint's vertex
     table) onto the binding table — the Optional operator as an outer
@@ -1324,10 +1410,10 @@ def _optional_join(
     srcc, dstc = "__os__", "__od__"
     sel = [F.col("src").alias(srcc), F.col("dst").alias(dstc)]
     if e.alias:
+        # src/dst ride along under the alias so exist(e1) has a NULL
+        # marker even for property-less edge tables
         sel += [
-            F.col(c).alias(f"{e.alias}__{c}")
-            for c in edf.columns
-            if c not in ("src", "dst")
+            F.col(c).alias(f"{e.alias}__{c}") for c in edf.columns
         ]
     right = edf.select(*sel)
     have_src = f"{e.src}__vid" in df.columns
@@ -1347,6 +1433,11 @@ def _optional_join(
         renamed = vt.select(
             *[F.col(c).alias(f"{alias}__{c}") for c in vt.columns]
         )
+        # the alias's declaration constraints filter the RIGHT side
+        for ex in (opt_cons or {}).get(alias, ()):
+            renamed = renamed.where(
+                gql._compile_expr(ex, set(renamed.columns))
+            )
         right = right.join(
             renamed, F.col(col) == F.col(f"{alias}__vid")
         )

@@ -364,7 +364,13 @@ def cache(df: DataFrame) -> DataFrame:
     return df.persist()
 
 
-def linked_expand(df: DataFrame, udtf_name: str, *args, out: str = "linked") -> DataFrame:
+def linked_expand(
+    df: DataFrame,
+    udtf_name: str,
+    *args,
+    out: str = "linked",
+    limit: int | None = None,
+) -> DataFrame:
     """LinkedExpand: grow the pattern along DERIVED edges computed by a
     registered UDTF instead of a stored edge table
     (LinkedPatternConnection -> LinkedExpand,
@@ -375,10 +381,19 @@ def linked_expand(df: DataFrame, udtf_name: str, *args, out: str = "linked") -> 
     JVM-side, one output row per element, rows with empty arrays drop
     (a UDTF that emits nothing). The Arrow-batched extraction pipeline
     (extract.extracted_edges) is the mapInPandas instance of the same
-    shape for kernels that genuinely need Python."""
+    shape for kernels that genuinely need Python.
+
+    ``limit`` caps the produced rows PER SOURCE (PatternConnection.limit
+    semantics): the array is sliced before the explode, so the cap is
+    deterministic and never materializes the uncapped fanout."""
     from linkgraph.functions import UDTFS
 
-    return df.withColumn(out, F.explode(UDTFS[udtf_name](*args)))
+    if udtf_name not in UDTFS:
+        raise ValueError(f"unknown linked-edge UDTF {udtf_name!r}")
+    arr = UDTFS[udtf_name](*args)
+    if limit is not None:
+        arr = F.slice(arr, 1, limit)
+    return df.withColumn(out, F.explode(arr))
 
 
 # --------------------------------------------------------------------------

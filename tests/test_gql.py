@@ -683,3 +683,28 @@ def test_linked_edge_udtf(g):
     assert q.edges[0].linked == (
         "seq_upto", (("ref", "a", "vid"), ("lit", 2))
     )
+
+
+def test_linked_edge_respects_limit(g):
+    from linkgraph.functions import UDTFS, register_udtf
+
+    if "seq_upto" not in UDTFS:
+        @register_udtf("seq_upto")
+        def _seq_upto(c):
+            return F.sequence(F.lit(1), c)
+    rows = compile_query(
+        "MATCH (a)-[l:seq_upto(a.vid) limit 2]->(b) WHERE a.vid = 4 "
+        "RETURN b AS b ORDER BY b ASC",
+        g,
+    ).collect()
+    assert [r["b"] for r in rows] == [1, 2]
+
+
+def test_aliasless_per_node_limit(g):
+    a = compile_query(
+        "MATCH (a)-[per_node_limit 1]->(b) RETURN a AS a, b AS b", g
+    ).collect()
+    b = compile_query(
+        "MATCH (a)-[e limit 1]->(b) RETURN a AS a, b AS b", g
+    ).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}

@@ -99,7 +99,10 @@ def test_parse_concept_qualified_label():
     )
     s = stmts[0]
     assert s.query.nodes["u"].label == "RiskApp"
-    assert ("bin", "=", ("ref", "u", "concept"), ("lit", "gambling")) in s.filters
+    assert (
+        "u",
+        ("bin", "=", ("ref", "u", "concept"), ("lit", "gambling")),
+    ) in s.node_constraints
 
 
 def test_parse_action_ddl_golden():
@@ -544,8 +547,11 @@ Action { get(other.id) }
     assert s.root == "account"
     assert s.query.nodes["account"].label == "Account"
     assert s.query.nodes["medium"].label == "Medium"
-    # region='cn' became a filter; __start__ did NOT
-    assert ("bin", "=", ("ref", "account", "region"), ("lit", "cn")) in s.filters
+    # region='cn' became a pattern constraint on its alias; __start__ did NOT
+    assert (
+        "account",
+        ("bin", "=", ("ref", "account", "region"), ("lit", "cn")),
+    ) in s.node_constraints
     e1, e2, e3 = s.query.edges
     assert (e1.src, e1.dst, e1.alias, e1.rel, e1.lower, e1.upper) == (
         "account", "other", "edge1", "transfer", 1, 3
@@ -1293,3 +1299,76 @@ Action { get(A.name, B.name, F.name) }
     )
     got = {tuple(r) for r in res.table.collect()}
     assert got == {("n1", "n10", "n50"), ("n2", None, "n50")}
+
+
+def test_optional_node_declaration_constraint_stays_optional(optional_graph):
+    # `D [d, name='n30']` on an optional-only alias filters the right
+    # side of the left join — A rows without a match keep NULLs instead
+    # of disappearing (r4 review fix)
+    res = run_script(
+        """
+GraphStructure {
+  A [a, __start__='true']
+  D [d, name='nope']
+  A -> D [ad, __optional__='true']
+}
+Rule { }
+Action { get(A.name, D.name) }
+""",
+        optional_graph,
+    )
+    got = {tuple(r) for r in res.table.collect()}
+    assert got == {("n1", None), ("n2", None)}
+
+
+def test_optional_edge_alias_rule_is_post_join(optional_graph):
+    # a Rule conjunct on the optional EDGE alias routes post-join
+    # (3-valued; exist() guards the maybe-absent case) instead of
+    # crashing in the mandatory traversal (r4 review fix)
+    res = run_script(
+        """
+GraphStructure {
+  A [a, __start__='true']
+  B [b]
+  A -> B [ab, __optional__='true'] as e1
+}
+Rule {
+  R1: (not exist(e1)) or B.name == 'n10'
+}
+Action { get(A.name, B.name) }
+""",
+        optional_graph,
+    )
+    got = {tuple(r) for r in res.table.collect()}
+    assert got == {("n1", "n10"), ("n2", None)}
+
+
+def test_all_optional_without_root_clean_error(optional_graph):
+    with pytest.raises(ValueError, match="__start__"):
+        run_script(
+            "GraphStructure {\n A -> B [ab, __optional__='true']\n}\n"
+            "Rule { }\nAction { get(A.vid) }",
+            optional_graph,
+        )
+
+
+def test_getfield_through_lets_and_negative_get(fund_graph):
+    # let-bound path + struct access under getfield, and get(-1)
+    res = run_script(
+        """
+GraphStructure {
+    a [Account, __start__='true']
+    a -> b [transfer] repeat(2,2) as e1
+}
+Rule {
+    R0: a.vid == 1
+    p = e1.edges()
+    f = p.get(0).src
+    l = p.get(0 - 1).dst
+}
+Action { get(b.vid, f, l) }
+""",
+        fund_graph,
+    )
+    got = {(r["b_vid"], r["f"], r["l"]) for r in res.table.collect()}
+    assert got == {(3, 1, 3), (1, 1, 1), (4, 1, 4)}
