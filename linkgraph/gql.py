@@ -1125,6 +1125,31 @@ def compile_query(
     return out
 
 
+def edge_frame(e: EdgePat, graph: PropertyGraph) -> DataFrame:
+    """The prepared edge table for one pattern edge: inline property
+    constraints filtered first (scan-pushable), then the undirected
+    swap-union (Direction.BOTH), then the deterministic per-source
+    fanout cap — applied on the TRUE edge orientation BEFORE any
+    reverse-walk swap, so a dst-rooted var-len traversal sees the same
+    capped edge set as the forward form. Shared by the inner-join
+    lowering here and kgdsl's optional left joins."""
+    edf = graph.edge_table(e.rel)
+    for k, v in e.props:
+        edf = edf.where(F.col(k) == F.lit(v))
+    if e.undirected:
+        props = [c for c in edf.columns if c not in ("src", "dst")]
+        edf = edf.unionByName(
+            edf.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), *props
+            )
+        )
+    if e.limit is not None:
+        from linkgraph.ops import cap_fanout
+
+        edf = cap_fanout(edf, e.limit)
+    return edf
+
+
 def _join_edge(
     df: DataFrame,
     e: EdgePat,
@@ -1163,24 +1188,7 @@ def _join_edge(
         bound.add(e.dst)
         return out
 
-    edf = graph.edge_table(e.rel)
-    for k, v in e.props:
-        edf = edf.where(F.col(k) == F.lit(v))
-    if e.undirected:  # Direction.BOTH: traverse either orientation
-        props = [c for c in edf.columns if c not in ("src", "dst")]
-        edf = edf.unionByName(
-            edf.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), *props
-            )
-        )
-    if e.limit is not None:
-        # PatternConnection.limit: deterministic per-source fanout cap,
-        # applied on the TRUE edge orientation BEFORE any reverse-walk
-        # swap — a dst-rooted var-len traversal must see the same capped
-        # edge set as the forward form
-        from linkgraph.ops import cap_fanout
-
-        edf = cap_fanout(edf, e.limit)
+    edf = edge_frame(e, graph)
     if e.is_varlen:
         props = [c for c in edf.columns if c not in ("src", "dst")]
         # traverse from whichever endpoint is bound; a dst-only binding

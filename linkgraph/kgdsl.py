@@ -1397,16 +1397,7 @@ def _optional_join(
             "optional var-len edges are not supported — make the hop "
             "mandatory or bound"
         )
-    edf = graph.edge_table(e.rel)
-    for k, v in e.props:
-        edf = edf.where(F.col(k) == F.lit(v))
-    if e.undirected:
-        props = [c for c in edf.columns if c not in ("src", "dst")]
-        edf = edf.unionByName(
-            edf.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), *props
-            )
-        )
+    edf = gql.edge_frame(e, graph)
     srcc, dstc = "__os__", "__od__"
     sel = [F.col("src").alias(srcc), F.col("dst").alias(dstc)]
     if e.alias:

@@ -89,6 +89,21 @@ def decode_image_bytes(blob: bytes) -> dict:
         meta = _decode_png_bytes(blob)
         if meta is not None:
             return meta
+    if blob.startswith((b"GIF87a", b"GIF89a")) and len(blob) >= 11:
+        # REAL GIF header: logical-screen width/height (u16 LE at 6/8)
+        # + palette size from the packed flags byte; pixels (LZW) stay
+        # behind the Pillow stub boundary
+        w, h = struct.unpack_from("<HH", blob, 6)
+        packed = blob[10]
+        if w > 0 and h > 0:
+            return {
+                "width": w,
+                "height": h,
+                # color resolution bits -> treat as paletted single plane
+                "channels": 1 if packed & 0x80 else 0,
+                "n_bytes": len(blob),
+                "mean_value": None,  # pixels not decoded (stub boundary)
+            }
     if blob.startswith(b"\xff\xd8"):
         # REAL JPEG header: SOF marker walk (ITU T.81 §B.2.2) gives
         # dimensions/components with no codec; pixel decode (and so

@@ -553,3 +553,16 @@ def test_image_metadata_jpeg_truncated_null_pads(spark):
     df = spark.createDataFrame([(1, bad)], "id bigint, image binary")
     (r,) = multimodal.image_metadata(df, on_error="null").collect()
     assert r["width"] is None and r["n_bytes"] is None
+
+
+def test_image_metadata_gif_header_dims(spark):
+    import struct
+
+    from linkgraph.pipeline import multimodal
+
+    gif = (b"GIF89a" + struct.pack("<HH", 320, 200) + bytes([0x91, 0, 0])
+           + b"\x00" * 16)
+    df = spark.createDataFrame([(1, gif)], "id bigint, image binary")
+    (r,) = multimodal.image_metadata(df).collect()
+    assert (r["width"], r["height"], r["channels"]) == (320, 200, 1)
+    assert r["mean_value"] is None
