@@ -69,6 +69,8 @@ SCALARS: dict[str, Callable[..., Column]] = {
     "day_of_week": F.dayofweek,
     "hour_of_day": F.hour,
     "now": F.current_timestamp,  # Now.java (nondeterministic; no oracle)
+    # TimeUdf.java:21 current_time_millis (nondeterministic; no oracle)
+    "current_time_millis": lambda: F.unix_millis(F.current_timestamp()),
     "random": F.rand,  # Random.java (nondeterministic; no oracle)
     # math / misc (Abs.java, Cast.java, Hash.java, JsonStringGet.java, …)
     "abs": F.abs,
