@@ -566,3 +566,34 @@ def test_image_metadata_gif_header_dims(spark):
     (r,) = multimodal.image_metadata(df).collect()
     assert (r["width"], r["height"], r["channels"]) == (320, 200, 1)
     assert r["mean_value"] is None
+
+
+def test_minhash_hot_bucket_anchoring(spark):
+    """A template-heavy corpus (many near-identical docs) must not
+    self-join O(n^2): oversized LSH buckets anchor to a representative,
+    the warning reports it, and the identical-doc clique still collapses
+    through the anchor."""
+    import warnings
+
+    from linkgraph.pipeline.dedup import minhash_lsh_pairs
+
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+            "eiusmod tempor incididunt ut labore et dolore magna aliqua ")
+    rows = [(f"t{i}", base + f"page {i}") for i in range(40)]  # template clique
+    rows += [("u1", "a completely different document about spark graphs"),
+             ("u2", "another unrelated text on duckdb oracles and parquet")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pairs = minhash_lsh_pairs(docs, max_bucket_size=10).collect()
+    assert any("anchoring" in str(w.message) for w in caught)
+    got = {(r["a"], r["b"]) for r in pairs}
+    # the clique collapses via its min-id anchor t0
+    anchored_to_t0 = {b for a, b in got if a == "t0"}
+    assert len(anchored_to_t0) >= 35
+    # unrelated docs never pair
+    assert not any("u1" in p or "u2" in p for p in got)
+    # uncapped finds the full clique pairwise; anchored is a subset
+    full = {(r["a"], r["b"]) for r in
+            minhash_lsh_pairs(docs, max_bucket_size=None).collect()}
+    assert got <= full
