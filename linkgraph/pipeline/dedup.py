@@ -264,6 +264,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ ``max_hamming``.
 
@@ -274,6 +275,11 @@ def simhash_pairs(
 
     ``bands`` defaults to the smallest power-of-two divisor of 64 that
     exceeds ``max_hamming`` (the pigeonhole requirement).
+
+    Chunk buckets over ``max_bucket_size`` anchor to their min-id
+    representative instead of self-joining (same template-corpus
+    O(size^2) hazard and mitigation as minhash_lsh_pairs; a warning
+    reports how many). ``None`` disables the cap.
     """
     if bands is None:
         bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
@@ -298,14 +304,58 @@ def simhash_pairs(
             )
         ).alias("bc"),
     ).select("id", "simhash", "bc.band", "bc.chunk")
+    anchored = None
+    if max_bucket_size is not None:
+        oversized = (
+            chunked.groupBy("band", "chunk")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.struct("id", "simhash")).alias("m"),
+            )
+            .where(F.col("n") > max_bucket_size)
+            .select(
+                "band", "chunk",
+                F.col("m.id").alias("rep"),
+                F.col("m.simhash").alias("rep_hash"),
+            )
+            .persist()
+        )
+        if oversized.count():
+            import warnings
+
+            warnings.warn(
+                "simhash_pairs: anchoring oversized chunk bucket(s) to "
+                f"their representatives (max_bucket_size={max_bucket_size})",
+                stacklevel=2,
+            )
+            anchored = (
+                chunked.join(oversized, ["band", "chunk"])
+                .where(F.col("id") != F.col("rep"))
+                .select(
+                    F.least("id", "rep").alias("a"),
+                    F.greatest("id", "rep").alias("b"),
+                    F.when(F.col("id") < F.col("rep"), F.col("simhash"))
+                    .otherwise(F.col("rep_hash"))
+                    .alias("ha"),
+                    F.when(F.col("id") < F.col("rep"), F.col("rep_hash"))
+                    .otherwise(F.col("simhash"))
+                    .alias("hb"),
+                )
+            )
+            chunked = chunked.join(
+                oversized.select("band", "chunk"), ["band", "chunk"], "left_anti"
+            )
+        else:
+            oversized.unpersist()
+
     left = chunked.select("band", "chunk", F.col("id").alias("a"), F.col("simhash").alias("ha"))
     right = chunked.select("band", "chunk", F.col("id").alias("b"), F.col("simhash").alias("hb"))
-    cand = (
-        left.join(right, ["band", "chunk"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "ha", "hb")
-        .dropDuplicates(["a", "b"])
-    )
+    cand = left.join(right, ["band", "chunk"]).where(
+        F.col("a") < F.col("b")
+    ).select("a", "b", "ha", "hb")
+    if anchored is not None:
+        cand = cand.unionByName(anchored)
+    cand = cand.dropDuplicates(["a", "b"])
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return cand.select("a", "b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming

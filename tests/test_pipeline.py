@@ -597,3 +597,23 @@ def test_minhash_hot_bucket_anchoring(spark):
     full = {(r["a"], r["b"]) for r in
             minhash_lsh_pairs(docs, max_bucket_size=None).collect()}
     assert got <= full
+
+
+def test_simhash_hot_bucket_anchoring(spark):
+    import warnings
+
+    from linkgraph.pipeline.dedup import simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(f"t{i}", base * 3 + f"tail {i % 2}") for i in range(30)]
+    rows += [("u1", "entirely different content about columnar execution")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        capped = {(r["a"], r["b"]) for r in
+                  simhash_pairs(docs, max_bucket_size=5).collect()}
+    assert any("anchoring" in str(w.message) for w in caught)
+    full = {(r["a"], r["b"]) for r in
+            simhash_pairs(docs, max_bucket_size=None).collect()}
+    assert capped <= full and len(capped) > 0
+    assert not any("u1" in p for p in capped)
