@@ -243,6 +243,7 @@ def cosine_pairs_lsh(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale-safe embedding-cosine near-dup pairs: multi-table hyperplane
     LSH candidate generation + exact cosine verify.
@@ -254,7 +255,14 @@ def cosine_pairs_lsh(
     ids only and the wide vectors re-join after the pair dedup. This is
     the 100 TB path; the brute-force all-pairs `a<b` join
     (`e_cosine_pairs`) stays as its small-scale test oracle.
-    """
+
+    SIZE ``n_planes`` WITH THE CORPUS: hyperplane buckets hold ~n/2^P
+    vectors, so the self-join is O(n^2/2^P) — keep P ≈ log2(n) - 10 so
+    buckets stay ~1k at any n (6 planes fits ~64k vectors; a 10^9-vector
+    corpus wants ~20). ``max_bucket_size`` (default None) additionally
+    anchors oversized buckets to their min-id representative — the
+    guard for DUPLICATE-heavy embeddings, where one bucket stays hot no
+    matter how many planes; a warning reports anchored buckets."""
     if dim is None:
         raise ValueError("cosine_pairs_lsh requires an explicit embedding dim")
     tables = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
@@ -272,14 +280,45 @@ def cosine_pairs_lsh(
             )
         ).alias("tb"),
     ).select("id", "tb.tbl", "tb.bucket")
+    anchored = None
+    if max_bucket_size is not None:
+        oversized = (
+            bucketed.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("rep"))
+            .where(F.col("n") > max_bucket_size)
+            .select("tbl", "bucket", "rep")
+            .persist()
+        )
+        if oversized.count():
+            import warnings
+
+            warnings.warn(
+                "cosine_pairs_lsh: anchoring oversized bucket(s) to "
+                f"their representatives (max_bucket_size={max_bucket_size})"
+                " — duplicate-heavy embeddings",
+                stacklevel=2,
+            )
+            anchored = (
+                bucketed.join(oversized, ["tbl", "bucket"])
+                .where(F.col("id") != F.col("rep"))
+                .select(
+                    F.least("id", "rep").alias("a"),
+                    F.greatest("id", "rep").alias("b"),
+                )
+            )
+            bucketed = bucketed.join(
+                oversized.select("tbl", "bucket"), ["tbl", "bucket"], "left_anti"
+            )
+        else:
+            oversized.unpersist()
     left = bucketed.select("tbl", "bucket", F.col("id").alias("a"))
     right = bucketed.select("tbl", "bucket", F.col("id").alias("b"))
-    cand = (
-        left.join(right, ["tbl", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-    )
+    cand = left.join(right, ["tbl", "bucket"]).where(
+        F.col("a") < F.col("b")
+    ).select("a", "b")
+    if anchored is not None:
+        cand = cand.unionByName(anchored)
+    cand = cand.dropDuplicates(["a", "b"])
     va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     scored = cand.join(va, "a").join(vb, "b").select(

@@ -221,6 +221,41 @@ def test_cosine_pairs_lsh_finds_planted_cluster(vectors):
     assert pairs <= brute
 
 
+def test_cosine_pairs_lsh_hot_bucket_anchoring(spark):
+    """Duplicate-heavy embeddings (one vector repeated many times) keep a
+    bucket hot no matter how many hyperplanes: max_bucket_size anchors the
+    bucket to its min-id representative, the warning fires, every anchored
+    pair still passes the exact cosine verify, and unrelated vectors never
+    pair."""
+    import warnings
+
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal(16)
+    rows = [(i, [float(x) for x in base + 1e-4 * rng.standard_normal(16)])
+            for i in range(30)]  # near-identical clique
+    rows += [(100 + j, [float(x) for x in rng.standard_normal(16)])
+             for j in range(5)]  # unrelated
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        capped = {(r["a"], r["b"]) for r in simsearch.cosine_pairs_lsh(
+            vecs, threshold=0.95, n_planes=6, n_tables=4, dim=16,
+            max_bucket_size=8,
+        ).collect()}
+    assert any("anchoring" in str(w.message) for w in caught)
+    # the clique collapses through its min-id anchor (0), linearly not O(n^2)
+    anchored_to_0 = {b for a, b in capped if a == 0}
+    assert len(anchored_to_0) >= 25
+    # exact verify still gates every emitted pair
+    full = {(r["a"], r["b"]) for r in simsearch.cosine_pairs_lsh(
+        vecs, threshold=0.95, n_planes=6, n_tables=4, dim=16,
+    ).collect()}
+    assert capped <= full
+    assert not any(a >= 100 or b >= 100 for a, b in capped)
+
+
 def test_audio_stats_real_wav(spark):
     """The audio path is a REAL decoder (stdlib wave): synthesize PCM
     WAVs with known properties and verify duration/RMS/peak."""
