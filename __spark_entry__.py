@@ -1079,7 +1079,8 @@ def _d_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        docs, num_hashes=32, bands=8, shingle_k=7, jaccard_threshold=0.5
+        docs, num_hashes=32, bands=8, shingle_k=7, jaccard_threshold=0.5,
+        max_bucket_size=None,  # pin: the DuckDB replica is the UNCAPPED join
     ).select("a", "b")
 
 

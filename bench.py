@@ -141,7 +141,8 @@ def main() -> None:
     def _mh():
         docs = load_table(spark, SF_DIR, "documents")
         return dedup.minhash_lsh_pairs(
-            docs, num_hashes=32, bands=8, shingle_k=7, jaccard_threshold=0.5
+            docs, num_hashes=32, bands=8, shingle_k=7, jaccard_threshold=0.5,
+            max_bucket_size=None,  # pin: keep timings comparable across rounds
         ).count()
 
     @timed("ann_topk")

@@ -19,6 +19,83 @@ from pyspark.sql import functions as F
 from linkgraph.pipeline import phash
 
 
+def _anchor_hot_buckets(
+    bucketed: DataFrame,
+    keys: list[str],
+    max_bucket_size: int,
+    op_name: str,
+    carry: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame | None]:
+    """Shared hot-bucket guard for the LSH pair generators.
+
+    ``bucketed`` has one row per (*keys, id [, carry...]). Buckets whose
+    size exceeds ``max_bucket_size`` are removed from the returned
+    ``kept`` frame and replaced by O(size) ``anchored`` candidate pairs
+    (every member against the bucket's min-id representative) — a
+    template-heavy corpus then costs O(n) instead of O(n^2) per hot
+    bucket, and a warning reports the count, never silent. Each ``carry``
+    column comes back on the anchored pairs as ``<col>_a`` / ``<col>_b``
+    (the a-side / b-side member's value).
+
+    Rows with a NULL bucket key are ignored: equi-joins never match NULL
+    keys, so they can neither explode the self-join nor be anchored —
+    counting them would fire a misleading warning on e.g. null-text
+    extraction failures.
+
+    ``oversized`` is deliberately NOT persisted: it is a cheap
+    map-side-combined aggregation over the caller's (cached) signature
+    base, and re-computing it in the two join branches beats leaking a
+    cached frame for the session's lifetime.
+    """
+    valid = bucketed
+    for k in keys:
+        valid = valid.where(F.col(k).isNotNull())
+    oversized = (
+        valid.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("id", *carry)).alias("m"),
+        )
+        .where(F.col("n") > max_bucket_size)
+        .select(
+            *keys,
+            F.col("m.id").alias("rep"),
+            *[F.col(f"m.{c}").alias(f"_rep_{c}") for c in carry],
+        )
+    )
+    n_over = oversized.count()
+    if not n_over:
+        return bucketed, None
+    import warnings
+
+    warnings.warn(
+        f"{op_name}: {n_over} LSH bucket(s) exceed "
+        f"max_bucket_size={max_bucket_size} (template- or duplicate-heavy "
+        "input) — anchoring members to the bucket representative instead "
+        "of self-joining",
+        stacklevel=3,
+    )
+    a_side = F.col("id") < F.col("rep")
+    anchored = (
+        bucketed.join(oversized, keys)
+        .where(F.col("id") != F.col("rep"))
+        .select(
+            F.least("id", "rep").alias("a"),
+            F.greatest("id", "rep").alias("b"),
+            *[
+                F.when(a_side, F.col(c)).otherwise(F.col(f"_rep_{c}")).alias(f"{c}_a")
+                for c in carry
+            ],
+            *[
+                F.when(a_side, F.col(f"_rep_{c}")).otherwise(F.col(c)).alias(f"{c}_b")
+                for c in carry
+            ],
+        )
+    )
+    kept = bucketed.join(oversized.select(*keys), keys, "left_anti")
+    return kept, anchored
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, canonical_id) per doc: canonical = min id sharing the same
     md5(text). Hash-groupBy — shuffles 16-byte digests, not documents."""
@@ -142,39 +219,9 @@ def minhash_lsh_pairs(
 
     anchored = None
     if max_bucket_size is not None:
-        oversized = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("rep"))
-            .where(F.col("n") > max_bucket_size)
-            .select("band", "bucket", "rep")
-            .persist()
+        banded, anchored = _anchor_hot_buckets(
+            banded, ["band", "bucket"], max_bucket_size, "minhash_lsh_pairs"
         )
-        n_over = oversized.count()
-        if n_over:
-            import warnings
-
-            warnings.warn(
-                f"minhash_lsh_pairs: {n_over} LSH bucket(s) exceed "
-                f"max_bucket_size={max_bucket_size} (template-heavy "
-                "corpus) — anchoring members to the bucket "
-                "representative instead of self-joining",
-                stacklevel=2,
-            )
-            anchored = (
-                banded.join(oversized, ["band", "bucket"])
-                .where(F.col("id") != F.col("rep"))
-                .select(
-                    F.least("id", "rep").alias("a"),
-                    F.greatest("id", "rep").alias("b"),
-                )
-            )
-            banded = banded.join(
-                oversized.select("band", "bucket"),
-                ["band", "bucket"],
-                "left_anti",
-            )
-        else:
-            oversized.unpersist()
 
     # candidate generation shuffles only (band, bucket, id) — signatures
     # re-join after the (a, b) dedup, so wide arrays never hit the
@@ -264,7 +311,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int | None = None,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ ``max_hamming``.
 
@@ -279,7 +326,17 @@ def simhash_pairs(
     Chunk buckets over ``max_bucket_size`` anchor to their min-id
     representative instead of self-joining (same template-corpus
     O(size^2) hazard and mitigation as minhash_lsh_pairs; a warning
-    reports how many). ``None`` disables the cap.
+    reports how many). UNLIKE minhash, the default is ``None``
+    (disabled): the chunk keyspace is only ``2^(64/bands)`` per band
+    (16 bits at the default bands=4), so a DIVERSE corpus of n docs
+    already averages ``n / 2^width`` docs per bucket of mutually
+    dissimilar texts — a fixed cap would fire on every bucket once
+    n exceeds ``cap * 2^width`` (~65M at the defaults) and anchor
+    unrelated docs to a rep the hamming verify then rejects, silently
+    collapsing recall. If you enable the cap on template-heavy input,
+    size it ≫ n / 2^(64/bands) (minhash's band key is a ~64-bit hash
+    combo, so ITS oversized buckets always mean genuine similarity and
+    a fixed default is safe there).
     """
     if bands is None:
         bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
@@ -306,47 +363,16 @@ def simhash_pairs(
     ).select("id", "simhash", "bc.band", "bc.chunk")
     anchored = None
     if max_bucket_size is not None:
-        oversized = (
-            chunked.groupBy("band", "chunk")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min(F.struct("id", "simhash")).alias("m"),
-            )
-            .where(F.col("n") > max_bucket_size)
-            .select(
-                "band", "chunk",
-                F.col("m.id").alias("rep"),
-                F.col("m.simhash").alias("rep_hash"),
-            )
-            .persist()
+        chunked, anchored = _anchor_hot_buckets(
+            chunked, ["band", "chunk"], max_bucket_size, "simhash_pairs",
+            carry=("simhash",),
         )
-        if oversized.count():
-            import warnings
-
-            warnings.warn(
-                "simhash_pairs: anchoring oversized chunk bucket(s) to "
-                f"their representatives (max_bucket_size={max_bucket_size})",
-                stacklevel=2,
+        if anchored is not None:
+            anchored = anchored.select(
+                "a", "b",
+                F.col("simhash_a").alias("ha"),
+                F.col("simhash_b").alias("hb"),
             )
-            anchored = (
-                chunked.join(oversized, ["band", "chunk"])
-                .where(F.col("id") != F.col("rep"))
-                .select(
-                    F.least("id", "rep").alias("a"),
-                    F.greatest("id", "rep").alias("b"),
-                    F.when(F.col("id") < F.col("rep"), F.col("simhash"))
-                    .otherwise(F.col("rep_hash"))
-                    .alias("ha"),
-                    F.when(F.col("id") < F.col("rep"), F.col("rep_hash"))
-                    .otherwise(F.col("simhash"))
-                    .alias("hb"),
-                )
-            )
-            chunked = chunked.join(
-                oversized.select("band", "chunk"), ["band", "chunk"], "left_anti"
-            )
-        else:
-            oversized.unpersist()
 
     left = chunked.select("band", "chunk", F.col("id").alias("a"), F.col("simhash").alias("ha"))
     right = chunked.select("band", "chunk", F.col("id").alias("b"), F.col("simhash").alias("hb"))

@@ -13,6 +13,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph.pipeline.dedup import _anchor_hot_buckets
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -282,35 +284,13 @@ def cosine_pairs_lsh(
     ).select("id", "tb.tbl", "tb.bucket")
     anchored = None
     if max_bucket_size is not None:
-        oversized = (
-            bucketed.groupBy("tbl", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("rep"))
-            .where(F.col("n") > max_bucket_size)
-            .select("tbl", "bucket", "rep")
-            .persist()
+        # the oversized scan + both join branches re-read bucketed, and
+        # its lineage is n_planes*n_tables*dim multiply-adds per vector —
+        # cache the narrow (id, tbl, bucket) frame, not the wide vectors
+        bucketed = bucketed.persist()
+        bucketed, anchored = _anchor_hot_buckets(
+            bucketed, ["tbl", "bucket"], max_bucket_size, "cosine_pairs_lsh"
         )
-        if oversized.count():
-            import warnings
-
-            warnings.warn(
-                "cosine_pairs_lsh: anchoring oversized bucket(s) to "
-                f"their representatives (max_bucket_size={max_bucket_size})"
-                " — duplicate-heavy embeddings",
-                stacklevel=2,
-            )
-            anchored = (
-                bucketed.join(oversized, ["tbl", "bucket"])
-                .where(F.col("id") != F.col("rep"))
-                .select(
-                    F.least("id", "rep").alias("a"),
-                    F.greatest("id", "rep").alias("b"),
-                )
-            )
-            bucketed = bucketed.join(
-                oversized.select("tbl", "bucket"), ["tbl", "bucket"], "left_anti"
-            )
-        else:
-            oversized.unpersist()
     left = bucketed.select("tbl", "bucket", F.col("id").alias("a"))
     right = bucketed.select("tbl", "bucket", F.col("id").alias("b"))
     cand = left.join(right, ["tbl", "bucket"]).where(

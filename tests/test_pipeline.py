@@ -221,6 +221,26 @@ def test_cosine_pairs_lsh_finds_planted_cluster(vectors):
     assert pairs <= brute
 
 
+def test_hot_bucket_cap_ignores_null_keys(spark):
+    """Null-signature docs (extraction failures) share a NULL bucket key
+    but NULL keys never equi-join — the cap must not count them as an
+    oversized bucket (no warning) and must not anchor them."""
+    import warnings
+
+    from linkgraph.pipeline.dedup import simhash_pairs
+
+    rows = [(f"n{i}", None) for i in range(20)]  # null texts
+    rows += [("a1", "some perfectly ordinary document text here"),
+             ("a2", "some perfectly ordinary document text here")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pairs = {(r["a"], r["b"]) for r in
+                 simhash_pairs(docs, max_bucket_size=5).collect()}
+    assert not any("anchoring" in str(w.message) for w in caught)
+    assert pairs == {("a1", "a2")}
+
+
 def test_cosine_pairs_lsh_hot_bucket_anchoring(spark):
     """Duplicate-heavy embeddings (one vector repeated many times) keep a
     bucket hot no matter how many hyperplanes: max_bucket_size anchors the

@@ -58,7 +58,8 @@ def run_level(cores: int, n_docs: int, reps: int) -> dict:
     for _ in range(reps):
         t0 = time.monotonic()
         pairs = dedup.minhash_lsh_pairs(
-            docs, num_hashes=32, bands=8, shingle_k=7, jaccard_threshold=0.5
+            docs, num_hashes=32, bands=8, shingle_k=7, jaccard_threshold=0.5,
+            max_bucket_size=None,  # pin: stored baselines are uncapped
         ).count()
         times.append(time.monotonic() - t0)
     docs.unpersist()
