@@ -1084,6 +1084,16 @@ def _d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b")
 
 
+def _d_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup RESOLUTION: minhash pairs -> connected components ->
+    (doc_id, canonical_id) for every document (dedup.near_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dedup(
+        docs, num_hashes=32, bands=8, shingle_k=7, jaccard_threshold=0.5,
+        max_bucket_size=None,  # pin: the DuckDB replica is the uncapped join
+    )
+
+
 def _e_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(
@@ -1213,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_asof": _q18_asof,
         "q19_accumulate": _q19_accumulate,
         "q20_paths": _q20_paths,
+        "d_near_dedup": _d_near_dedup,
     }
 
 
@@ -1623,6 +1634,29 @@ cand AS (
 SELECT a, b
 FROM cand JOIN sig sa ON cand.a = sa.doc_id JOIN sig sb ON cand.b = sb.doc_id
 WHERE ({eq}) / {float(num_hashes)} >= {threshold}"""
+
+
+def _near_dedup_sql() -> str:
+    """DuckDB replica of dedup.near_dedup: the minhash pair graph's
+    connected components via a recursive min-label closure, canonical =
+    min doc_id per component, docs in no pair map to themselves."""
+    pairs = _minhash_pairs_sql()
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({pairs}
+),
+edges AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+clusters AS (SELECT id, MIN(r) AS canon FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(c.canon, d.doc_id) AS canonical_id
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id"""
 
 
 def _simhash_sql(bits: int = 64, seed: int = 11) -> str:
@@ -2186,6 +2220,7 @@ re AS (
 SELECT d.doc_id, COALESCE(re.text, '') AS text
 FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id""",
         "d_minhash_pairs": _minhash_pairs_sql(),
+        "d_near_dedup": _near_dedup_sql(),
         "d_simhash": _simhash_sql(),
         "e_ann_topk": _ANN_SQL,
         "e_cosine_pairs_lsh": _cosine_pairs_lsh_sql(),

@@ -420,3 +420,73 @@ def ngram_jaccard(
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = F.size(F.array_union("ga", "gb")).cast("double")
     return j.select("a", "b", (inter / union).alias("jaccard"))
+
+
+def near_dedup(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 50,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into canonical documents: the
+    cluster step every web-scale pipeline runs after candidate
+    generation (RefinedWeb/FineWeb-style). Returns one row per input
+    doc: (``id_col``, canonical_id) with canonical = the min id of the
+    doc's near-dup cluster — keep ``id == canonical_id`` rows to dedup.
+
+    Clusters are the connected components of the pair graph
+    (``pairs`` defaults to ``minhash_lsh_pairs(docs, **lsh_kwargs)``,
+    but any (a, b) frame works — simhash_pairs, cosine_pairs_lsh).
+    Components run on the same exchange-free hash-min Pregel kernel as
+    the graph queries (algos.cc — near-dup clusters are shallow, so it
+    converges in a handful of supersteps); docs in no pair stay their
+    own canonical via one left join. Integral ids feed the kernel
+    directly; other id types ride a ``xxhash64`` vid (collision odds
+    ~n^2/2^64 — a collision merges two clusters, never drops a doc),
+    and the canonical id is re-derived as ``min(id)`` per component so
+    the output never exposes hashed vids.
+
+    Spiritual parity: the reference fuses duplicate vertices by
+    business-id strategy (OverwriteFusing.java — see module docstring);
+    this is the corpus-level analog.
+    """
+    from pyspark.sql import types as T
+
+    from linkgraph.algos.cc import connected_components
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col, **lsh_kwargs)
+    pairs = pairs.select("a", "b")
+    id_type = docs.schema[id_col].dataType
+    integral = isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    if integral:
+        edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        members = connected_components(edges, max_iter=max_iter).state
+        clusters = members.select(
+            F.col("vid").alias("__id__"), F.col("component").alias("__canon__")
+        )
+    else:
+        vid = lambda c: F.xxhash64(F.col(c))  # noqa: E731
+        edges = pairs.select(vid("a").alias("src"), vid("b").alias("dst"))
+        members = connected_components(edges, max_iter=max_iter).state
+        ids = (
+            pairs.select(F.col("a").alias("__id__"))
+            .unionByName(pairs.select(F.col("b").alias("__id__")))
+            .distinct()
+            .select("__id__", F.xxhash64("__id__").alias("vid"))
+        )
+        clusters = (
+            ids.join(members, "vid")
+            .withColumn("__canon__", F.min("__id__").over(Window.partitionBy("component")))
+            .select("__id__", "__canon__")
+        )
+    return (
+        docs.select(F.col(id_col))
+        .join(clusters, F.col(id_col) == F.col("__id__"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__canon__"), F.col(id_col)).alias("canonical_id"),
+        )
+    )

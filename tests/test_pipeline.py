@@ -221,6 +221,33 @@ def test_cosine_pairs_lsh_finds_planted_cluster(vectors):
     assert pairs <= brute
 
 
+def test_near_dedup_resolves_clusters(spark, docs):
+    """Pairs -> connected components -> canonical: the transitive
+    cluster {0,1,2} collapses to min id 0; singletons keep themselves;
+    every input doc gets exactly one row."""
+    got = {r["doc_id"]: r["canonical_id"] for r in
+           dedup.near_dedup(docs, jaccard_threshold=0.5).collect()}
+    assert got[0] == got[1] == 0 and got[2] in (0, 2)
+    assert all(got[i] == i for i in (3, 4, 5))
+    assert len(got) == 6
+
+    # transitivity through explicit pairs (0-1, 1-2 only — no 0-2 pair)
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "a bigint, b bigint")
+    got = {r["doc_id"]: r["canonical_id"] for r in
+           dedup.near_dedup(docs, pairs=pairs).collect()}
+    assert got[0] == got[1] == got[2] == 0 and got[3] == 3
+
+    # non-integral ids ride the hashed-vid path; canonical is still min ID
+    sdocs = docs.select(
+        F.concat(F.lit("url-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+    )
+    got = {r["doc_id"]: r["canonical_id"] for r in
+           dedup.near_dedup(sdocs, jaccard_threshold=0.5).collect()}
+    assert got["url-0"] == got["url-1"] == "url-0"
+    assert got["url-3"] == "url-3"
+
+
 def test_hot_bucket_cap_ignores_null_keys(spark):
     """Null-signature docs (extraction failures) share a NULL bucket key
     but NULL keys never equi-join — the cap must not count them as an
