@@ -458,19 +458,26 @@ def near_dedup(
 
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col, **lsh_kwargs)
-    pairs = pairs.select("a", "b")
+    elif lsh_kwargs:
+        raise TypeError(
+            "near_dedup: LSH parameters have no effect when an explicit "
+            f"pairs frame is given: {sorted(lsh_kwargs)}"
+        )
+    # the pair frame's lineage is the whole LSH candidate join + verify;
+    # the CC kernel and the id mapping both re-read it several times
+    pairs = pairs.select("a", "b").persist()
     id_type = docs.schema[id_col].dataType
     integral = isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
     if integral:
         edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        members = connected_components(edges, max_iter=max_iter).state
-        clusters = members.select(
+        result = connected_components(edges, max_iter=max_iter)
+        clusters = result.state.select(
             F.col("vid").alias("__id__"), F.col("component").alias("__canon__")
         )
     else:
         vid = lambda c: F.xxhash64(F.col(c))  # noqa: E731
         edges = pairs.select(vid("a").alias("src"), vid("b").alias("dst"))
-        members = connected_components(edges, max_iter=max_iter).state
+        result = connected_components(edges, max_iter=max_iter)
         ids = (
             pairs.select(F.col("a").alias("__id__"))
             .unionByName(pairs.select(F.col("b").alias("__id__")))
@@ -478,10 +485,25 @@ def near_dedup(
             .select("__id__", F.xxhash64("__id__").alias("vid"))
         )
         clusters = (
-            ids.join(members, "vid")
+            ids.join(result.state, "vid")
             .withColumn("__canon__", F.min("__id__").over(Window.partitionBy("component")))
             .select("__id__", "__canon__")
         )
+    if not result.converged:
+        import warnings
+
+        warnings.warn(
+            f"near_dedup: component labels did not converge within "
+            f"max_iter={max_iter} supersteps — a pair-graph chain longer "
+            "than that splits one cluster into several canonical ids. "
+            "Raise max_iter (cost is one superstep per extra hop).",
+            stacklevel=2,
+        )
+    # materialize the (small) cluster map so the cached pair frame can be
+    # released before the lazily-consumed result frame escapes
+    clusters = clusters.persist()
+    clusters.count()
+    pairs.unpersist()
     return (
         docs.select(F.col(id_col))
         .join(clusters, F.col(id_col) == F.col("__id__"), "left")

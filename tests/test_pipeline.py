@@ -227,9 +227,17 @@ def test_near_dedup_resolves_clusters(spark, docs):
     every input doc gets exactly one row."""
     got = {r["doc_id"]: r["canonical_id"] for r in
            dedup.near_dedup(docs, jaccard_threshold=0.5).collect()}
-    assert got[0] == got[1] == 0 and got[2] in (0, 2)
+    assert got[0] == got[1] == got[2] == 0  # near-dup 2 clusters via LSH
     assert all(got[i] == i for i in (3, 4, 5))
     assert len(got) == 6
+
+    # explicit pairs + LSH params is a contradiction — reject loudly
+    with pytest.raises(TypeError, match="no effect"):
+        dedup.near_dedup(
+            docs,
+            pairs=spark.createDataFrame([(0, 1)], "a bigint, b bigint"),
+            jaccard_threshold=0.9,
+        )
 
     # transitivity through explicit pairs (0-1, 1-2 only — no 0-2 pair)
     pairs = spark.createDataFrame([(0, 1), (1, 2)], "a bigint, b bigint")
