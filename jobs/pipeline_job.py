@@ -1,6 +1,7 @@
 """spark-submit entry point: the full dress-rehearsal pipeline in one
 orchestrated job — pages -> extract -> normalize -> host graph ->
-PageRank (+ host-level weighted PageRank input) -> MinHash dedup.
+PageRank (+ host-level weighted PageRank input) -> MinHash dedup ->
+near-dup resolution (pairs -> connected components -> canonical docs).
 
 This is the reference's chained-jobs lifecycle (builder pipeline then
 reasoner jobs, LocalBuilderRunner.java:92-125 + LocalRunner) as one
@@ -31,7 +32,7 @@ import time
 from pyspark.sql import SparkSession
 
 
-STAGES = ("extract", "normalize", "host_graph", "pagerank", "dedup")
+STAGES = ("extract", "normalize", "host_graph", "pagerank", "dedup", "resolve")
 
 
 def _load_manifest(out: str) -> dict:
@@ -189,12 +190,30 @@ def run_pipeline(
         pairs.write.mode("overwrite").parquet(f"{out}/dedup_pairs")
         return spark.read.parquet(f"{out}/dedup_pairs").count()
 
+    def _resolve() -> int:
+        from linkgraph.pipeline.dedup import near_dedup
+
+        text = spark.read.parquet(f"{out}/text")
+        canon = near_dedup(
+            text,
+            pairs=spark.read.parquet(f"{out}/dedup_pairs"),
+            id_col="url",
+        )
+        canon.write.mode("overwrite").parquet(f"{out}/canonical_docs")
+        # row count = surviving docs (the deduped corpus size)
+        return (
+            spark.read.parquet(f"{out}/canonical_docs")
+            .where(F.col("url") == F.col("canonical_id"))
+            .count()
+        )
+
     fns = {
         "extract": _extract,
         "normalize": _normalize,
         "host_graph": _host_graph,
         "pagerank": _pagerank,
         "dedup": _dedup,
+        "resolve": _resolve,
     }
     for name in STAGES:
         stage(name, fns[name])

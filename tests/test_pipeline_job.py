@@ -54,6 +54,14 @@ def test_kill_resume_skips_committed_stages(spark, pages_dir, tmp_path):
         == manifest["completed"]["host_graph"]["rows"]
     )
     assert os.path.isdir(f"{out}/dedup_pairs")
+    # resolution: one row per doc, canonical ids are real doc urls, and
+    # the committed row count equals the surviving (deduped) corpus size
+    canon = spark.read.parquet(f"{out}/canonical_docs")
+    n_docs = spark.read.parquet(f"{out}/text").count()
+    assert canon.count() == n_docs
+    survivors = canon.where("url = canonical_id").count()
+    assert 0 < survivors <= n_docs
+    assert manifest["completed"]["resolve"]["rows"] == survivors
 
 
 def test_full_run_single_pass(spark, pages_dir, tmp_path):
