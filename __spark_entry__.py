@@ -243,7 +243,7 @@ def _q15_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SCALARS["upper"]("p_brand").alias("up"),
         SCALARS["str_length"]("p_name").alias("ln"),
         SCALARS["sub_str"](F.col("p_type"), 1, 5).alias("pfx"),
-        SCALARS["concat_ws"]("|", "p_brand", "p_type").alias("cat"),
+        SCALARS["concat_ws"]("|", F.col("p_brand"), F.col("p_type")).alias("cat"),
         SCALARS["trim"](F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("tr"),
         SCALARS["abs"](F.col("p_size") - 25).alias("ab"),
         SCALARS["str_contains"](F.col("p_type"), "BRASS").alias("has_brass"),
@@ -1084,6 +1084,51 @@ def _d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b")
 
 
+def _c2_concept_rule_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The concept-rule mark language end-to-end (concept_rules.py —
+    the shipped `concept.rule` format): a belongTo rule classifies
+    customers with a big order into a concept; the members table comes
+    back with the concept instance."""
+    from linkgraph.concept_rules import run_rule_file
+    from linkgraph.gql import PropertyGraph
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("vid"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("vid"),
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+    )
+    placed = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst")
+    )
+    g = PropertyGraph(
+        {"Demo.Customer": cust, "Demo.Order": orders}, {"placed": placed}
+    )
+    script = """namespace Demo
+
+`Tier`/`vip`:
+    rule: [[
+        Define (s:Customer)-[p:belongTo]->(o:`Tier`/`vip`) {
+            Structure {
+                (s)-[:placed]->(ord:Order)
+            }
+            Constraint {
+                R1("big spender"): ord.totalprice > 300000.0
+            }
+        }
+    ]]
+"""
+    res = run_rule_file(script, g)
+    return (
+        res.graph.vertices["Demo.Tier"]
+        .select("custkey", F.col("concept").alias("tier"))
+        .orderBy("custkey")
+    )
+
+
 def _d_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup RESOLUTION: minhash pairs -> connected components ->
     (doc_id, canonical_id) for every document (dedup.near_dedup)."""
@@ -1224,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_accumulate": _q19_accumulate,
         "q20_paths": _q20_paths,
         "d_near_dedup": _d_near_dedup,
+        "c2_concept_rule_file": _c2_concept_rule_file,
     }
 
 
@@ -2219,6 +2265,11 @@ re AS (
 )
 SELECT d.doc_id, COALESCE(re.text, '') AS text
 FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id""",
+        "c2_concept_rule_file": """
+SELECT DISTINCT c.c_custkey AS custkey, 'vip' AS tier
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE CAST(o.o_totalprice AS DOUBLE) > 300000.0
+ORDER BY custkey""",
         "d_minhash_pairs": _minhash_pairs_sql(),
         "d_near_dedup": _near_dedup_sql(),
         "d_simhash": _simhash_sql(),

@@ -11,6 +11,11 @@ script against a catalog.
         --dsl-file rules.dsl [--param seed=7 --param pat=v1%] \\
         [--ddl-out /path/store] [--out /path/out]
 
+    # concept-rule mark language (the reference's concept.rule files)
+    spark-submit ... jobs/gql_job.py --catalog cat.json \\
+        --rule-file concept.rule [--fixpoint] \\
+        [--subject-type NS.Concept=NS.Entity] [--out /path/out]
+
 The reference's primary lifecycle (DSL string -> parse -> plan ->
 execute, OpenSPGDslParser.scala:86-116) as a deployable job: the catalog
 JSON binds labels/types to parquet/Iceberg tables (see
@@ -35,6 +40,15 @@ def main() -> None:
     p.add_argument("--query", default=None, help="GQL MATCH ... RETURN ...")
     p.add_argument("--dsl-file", default=None,
                    help="KGDSL script file (GraphStructure/Rule/Action, Define)")
+    p.add_argument("--rule-file", default=None,
+                   help="concept.rule mark-language file (namespace + "
+                        "`Type`/`name`: rule: [[...]] blocks)")
+    p.add_argument("--subject-type", action="append", default=[],
+                   help="ConceptType=SubjectLabel mapping for headless "
+                        "rules (repeatable)")
+    p.add_argument("--fixpoint", action="store_true",
+                   help="re-run the rule file until no frame changes "
+                        "(concept.rule causation chains)")
     p.add_argument("--param", action="append", default=[],
                    help="name=value runtime binding (repeatable); values "
                         "coerce to int/float only when they round-trip "
@@ -48,8 +62,10 @@ def main() -> None:
     p.add_argument("--show", type=int, default=0, help="print first N rows")
     p.add_argument("--explain", action="store_true", help="dump the physical plan")
     args = p.parse_args()
-    if (args.query is None) == (args.dsl_file is None):
-        p.error("exactly one of --query / --dsl-file is required")
+    modes = [m for m in (args.query, args.dsl_file, args.rule_file)
+             if m is not None]
+    if len(modes) != 1:
+        p.error("exactly one of --query / --dsl-file / --rule-file is required")
     params = {}
     for kv in args.param:
         k, _, v = kv.partition("=")
@@ -80,6 +96,35 @@ def main() -> None:
     with open(args.catalog) as f:
         cat = GraphCatalog(spark, json.load(f))
     t0 = time.monotonic()
+    if args.rule_file is not None:
+        from linkgraph.concept_rules import run_rule_file
+
+        store = None
+        if args.ddl_out:
+            from linkgraph.tables import TableStore
+
+            store = TableStore(spark, args.ddl_out)
+        subject_types = dict(
+            kv.partition("=")[::2] for kv in args.subject_type
+        )
+        with open(args.rule_file) as f:
+            res = run_rule_file(
+                f.read(), cat.property_graph(),
+                subject_types=subject_types or None,
+                store=store, fixpoint=args.fixpoint,
+            )
+        if args.out:
+            for name, frame in res.ddl.items():
+                frame.write.mode("overwrite").parquet(
+                    f"{args.out}/{name.replace('.', '_')}"
+                )
+        print(json.dumps({
+            "rows": 0,
+            "ddl_tables": sorted(res.ddl),
+            "wall_s": round(time.monotonic() - t0, 3),
+        }))
+        spark.stop()
+        return
     if args.dsl_file is not None:
         from linkgraph.kgdsl import run_script
 

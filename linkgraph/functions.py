@@ -24,8 +24,15 @@ from pyspark.sql import functions as F
 
 SCALARS: dict[str, Callable[..., Column]] = {
     # string (Concat.java, ContainsAny.java, InStr.java, IsBlank.java, …)
-    "concat": F.concat,
-    "concat_ws": F.concat_ws,
+    # NB: literal args reach registry callables as raw Python values, and
+    # F.concat/F.concat_ws interpret a raw str as a COLUMN NAME — lift
+    # them (concat(c.name, "suffix") is the common shipped-rule shape)
+    "concat": lambda *args: F.concat(
+        *[a if isinstance(a, Column) else F.lit(a) for a in args]
+    ),
+    "concat_ws": lambda sep, *args: F.concat_ws(
+        sep, *[a if isinstance(a, Column) else F.lit(a) for a in args]
+    ),
     "contains_any": lambda col, items: F.exists(
         F.array(*[F.lit(i) for i in items]), lambda x: F.contains(col, x)
     ),

@@ -54,6 +54,7 @@ aggregate + one left join per definition.
 
 from __future__ import annotations
 
+import dataclasses
 import re
 from dataclasses import dataclass, field
 
@@ -166,6 +167,10 @@ class DefineHead:
     obj_type: str
     concept: bool = False  # [o:Concept/`inst`] — string-valued (KTConcept)
     concept_instance: str | None = None  # the `inst`; default o value
+    # `Define (s:`Type`/`inst`)-[p:leadTo]->...` (supplychain
+    # concept.rule leadTo rules): the subject ranges over the concept's
+    # MEMBERS — same lowering as a body node's /`concept` qualifier
+    subj_concept: str | None = None
 
     @property
     def is_property(self) -> bool:
@@ -231,6 +236,10 @@ class Statement:
         out = set()
         if self.define is not None:
             out.add(self.define.pred)
+            if self.define.concept and self.define.pred == "belongTo":
+                # a belongTo Define registers concept members, so a
+                # later pattern over the concept-type label depends on it
+                out.add(self.define.obj_type)
         for ni in self.node_instances:
             out.add(ni.type)
         for ei in self.edge_instances:
@@ -570,7 +579,10 @@ def _split_lines(toks: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
         elif t[0] == "op" and t[1] in ")]}":
             depth -= 1
         if t == ("nl", "") and depth == 0:
-            if lines[-1]:
+            # a trailing comma continues the statement on the next line
+            # (path_pattern_list: comma-separated Structure paths split
+            # across lines — supplychain concept.rule leadTo rules)
+            if lines[-1] and lines[-1][-1] != ("op", ","):
                 lines.append([])
             continue
         if t != ("nl", ""):
@@ -647,6 +659,10 @@ class _ScriptParser:
         subj = self._expect("name")[1]
         self._expect("op", ":")
         subj_label = self._expect("name")[1]
+        subj_concept = None
+        if self._peek() == ("op", "/"):
+            self._next()
+            subj_concept = self._expect("name")[1]
         self._expect("op", ")")
         self._expect("op", "-")
         self._expect("op", "[")
@@ -676,25 +692,48 @@ class _ScriptParser:
             concept = True
         self._expect("op", closer)
         head = DefineHead(
-            subj, subj_label, pred_alias, pred, obj, obj_type, concept, instance
+            subj, subj_label, pred_alias, pred, obj, obj_type, concept, instance,
+            subj_concept,
         )
         self._expect("op", "{")
         stmt = self._base_rule(head)
         self._expect("op", "}")
         return stmt
 
+    def _is_block_head(self, token, canonical: str, synonym: str) -> bool:
+        """KGDSL.g4:491-495: ``Structure`` / ``Constraint`` are legal
+        spellings of the GraphStructure / Rule block heads — capital
+        first letter, rest case-insensitive (STRUCTURE/CONSTRAINT
+        lexer rules)."""
+        kind, val = token
+        if kind != "name":
+            return False
+        if val == canonical:
+            return True
+        return val[:1] == synonym[:1] and val.lower() == synonym.lower()
+
     def _base_rule(self, head: DefineHead | None) -> Statement:
-        self._expect("name", "GraphStructure")
+        t = self._next()
+        if not (t == ("name", "GraphStructure") or self._is_block_head(t, "GraphStructure", "Structure")):
+            raise SyntaxError(f"expected GraphStructure, got {t}")
         stmt = Statement(define=head)
         if head is not None:
             # the Define head binds the subject's label for the body —
             # and the object's, when the target is an entity type
             # (`->(o:FilmStar)` types the body's bare `(o)`)
             stmt.query.nodes[head.subj] = gql.NodePat(head.subj, head.subj_label)
+            if head.subj_concept is not None:
+                stmt.node_constraints.append((
+                    head.subj,
+                    ("bin", "=", ("ref", head.subj, "concept"),
+                     ("lit", head.subj_concept)),
+                ))
             if not head.is_property:
                 stmt.query.nodes[head.obj] = gql.NodePat(head.obj, head.obj_type)
         self._parse_graph_structure(stmt, self._block())
-        if self._peek() == ("name", "Rule"):
+        if self._peek() == ("name", "Rule") or self._is_block_head(
+            self._peek(), "Rule", "Constraint"
+        ):
             self._next()
             self._parse_rule(stmt, self._block())
         if self._peek() == ("name", "Action"):
@@ -1220,23 +1259,31 @@ def _toposort(stmts: list[Statement]) -> list[Statement]:
     """Dependency order (Validator/Dag analog): a statement consuming a
     name another statement produces runs after it; ties keep script
     order. Cycles raise."""
-    produced: dict[str, int] = {}
+    produced: dict[str, list[int]] = {}
     for i, s in enumerate(stmts):
         for p in s.produced:
-            if p in produced:
-                # two producers of one type would silently order against
-                # the first — fail loudly instead
-                raise ValueError(
-                    f"two statements produce {p!r} (statements "
-                    f"{produced[p] + 1} and {i + 1}); each edge/property "
-                    "type may have exactly one Define/DDL producer"
-                )
-            produced[p] = i
+            produced.setdefault(p, []).append(i)
+    for p, idxs in produced.items():
+        if len(idxs) > 1 and not all(
+            stmts[i].define is not None and stmts[i].define.concept
+            for i in idxs
+        ):
+            # two producers of one type would silently order against
+            # the first — fail loudly instead. Concept Defines are the
+            # exception: several rules legitimately populate one concept
+            # type (one per instance — dynamic taxonomy), and consumers
+            # simply depend on ALL of them.
+            raise ValueError(
+                f"two statements produce {p!r} (statements "
+                f"{idxs[0] + 1} and {idxs[1] + 1}); each edge/property "
+                "type may have exactly one Define/DDL producer"
+            )
     deps: dict[int, set[int]] = {
         i: {
-            produced[c]
+            j
             for c in s.consumed
-            if c in produced and produced[c] != i
+            for j in produced.get(c, [])
+            if j != i
         }
         for i, s in enumerate(stmts)
     }
@@ -1621,6 +1668,25 @@ def _run_action_ddl(
     cols = set(df.columns)
     ddl: dict[str, tuple[str, DataFrame]] = {}  # type -> ("vertex"|"edge", df)
     var_vid: dict[str, Column] = {}
+    # value= expressions may reference Rule/Constraint-block lets
+    # (supplychain concept.rule: `eventName = concat(...)` then
+    # `name=eventName` in createNodeInstance)
+    lets = _resolve_lets(stmt)
+    stmt = dataclasses.replace(
+        stmt,
+        node_instances=[
+            dataclasses.replace(
+                ni, value=[(p, _inline_lets(ex, lets)) for p, ex in ni.value]
+            )
+            for ni in stmt.node_instances
+        ],
+        edge_instances=[
+            dataclasses.replace(
+                ei, value=[(p, _inline_lets(ex, lets)) for p, ex in ei.value]
+            )
+            for ei in stmt.edge_instances
+        ],
+    )
     for ni in stmt.node_instances:
         exprs = [gql._compile_expr(ex, cols).alias(p) for p, ex in ni.value]
         id_expr = next(
@@ -1628,17 +1694,37 @@ def _run_action_ddl(
             None,
         )
         if id_expr is None:
-            raise ValueError(
-                f"createNodeInstance(type={ni.type}) needs an id= entry"
+            if not ni.value:
+                raise ValueError(
+                    f"createNodeInstance(type={ni.type}) needs an id= "
+                    "entry or at least one value= property"
+                )
+            # no id= (supplychain concept.rule event instances): identity
+            # is a deterministic content hash over type + every property
+            # — same properties, same vertex, so re-running the rule
+            # upserts instead of duplicating (the reference server
+            # assigns event instance ids internally)
+            id_expr = F.concat_ws(
+                "|",
+                F.lit(ni.type),
+                *[
+                    gql._compile_expr(ex, cols).cast("string")
+                    for _p, ex in sorted(ni.value, key=lambda pv: pv[0])
+                ],
             )
+            exprs = [id_expr.alias("id"), *exprs]
         vid = F.xxhash64(id_expr.cast("string"))
         nd = _collapse_key(df.select(vid.alias("vid"), *exprs), ["vid"])
         ddl[ni.type] = ("vertex", nd)
-        graph.vertices[ni.type] = (
-            graph.vertices[ni.type].unionByName(nd, allowMissingColumns=True)
-            if ni.type in graph.vertices
-            else nd
-        )
+        if ni.type in graph.vertices:
+            # vid-keyed UPSERT (TableStore convention): re-running the
+            # rule — e.g. a concept_rules fixpoint round — replaces the
+            # instance instead of duplicating it
+            base = graph.vertices[ni.type].join(
+                nd.select("vid"), "vid", "left_anti"
+            )
+            nd = base.unionByName(nd, allowMissingColumns=True)
+        graph.vertices[ni.type] = nd
         if ni.var:
             var_vid[ni.var] = vid
     for ei in stmt.edge_instances:
@@ -1663,11 +1749,13 @@ def _run_action_ddl(
             ["src", "dst"],
         )
         ddl[ei.type] = ("edge", ed)
-        graph.edges[ei.type] = (
-            graph.edges[ei.type].unionByName(ed, allowMissingColumns=True)
-            if ei.type in graph.edges
-            else ed
-        )
+        if ei.type in graph.edges:
+            # (src, dst)-keyed upsert, matching the TableStore edge_key
+            base = graph.edges[ei.type].join(
+                ed.select("src", "dst"), ["src", "dst"], "left_anti"
+            )
+            ed = base.unionByName(ed, allowMissingColumns=True)
+        graph.edges[ei.type] = ed
     return ddl
 
 
@@ -1733,6 +1821,39 @@ def run_script(
                     base = base.drop(name)
                 g.vertices[head.subj_label] = base.join(out, "vid", "left")
                 ddl[name] = out
+                if head.concept and head.pred == "belongTo" and (
+                    head.concept_instance is not None
+                ):
+                    # dynamic taxonomy (DefineDynamicTaxonomyRequest,
+                    # concept_rule_ml.py:200-210): a belongTo Define ALSO
+                    # registers the matching subjects as members of the
+                    # concept type, so a later statement's concept-
+                    # qualified pattern ((x:`Type`/`inst`)) binds them
+                    members = g.vertices[head.subj_label].join(
+                        out.where(
+                            F.col(name) == head.concept_instance
+                        ).select("vid"),
+                        "vid",
+                    )
+                    if "concept" in members.columns:
+                        members = members.drop("concept")
+                    members = members.withColumn(
+                        "concept", F.lit(head.concept_instance)
+                    )
+                    existing = g.vertices.get(head.obj_type)
+                    if existing is not None:
+                        # re-registration upserts: drop the stale rows for
+                        # these (vid, concept) pairs so a fixpoint re-run
+                        # never duplicates members
+                        existing = existing.join(
+                            members.select("vid", "concept"),
+                            ["vid", "concept"],
+                            "left_anti",
+                        )
+                        members = existing.unionByName(
+                            members, allowMissingColumns=True
+                        )
+                    g.vertices[head.obj_type] = members
             else:
                 g.edges[name] = out
                 ddl[name] = out
