@@ -99,14 +99,21 @@ def main() -> None:
     if args.rule_file is not None:
         from linkgraph.concept_rules import run_rule_file
 
+        if params:
+            p.error("--param/--param-str have no effect with --rule-file")
         store = None
         if args.ddl_out:
             from linkgraph.tables import TableStore
 
             store = TableStore(spark, args.ddl_out)
-        subject_types = dict(
-            kv.partition("=")[::2] for kv in args.subject_type
-        )
+        subject_types = {}
+        for kv in args.subject_type:
+            k, sep, v = kv.partition("=")
+            if not sep or not k or not v:
+                p.error(
+                    f"--subject-type needs ConceptType=SubjectLabel, got {kv!r}"
+                )
+            subject_types[k] = v
         with open(args.rule_file) as f:
             res = run_rule_file(
                 f.read(), cat.property_graph(),

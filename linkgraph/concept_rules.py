@@ -56,8 +56,11 @@ _DEFINE_HEAD = re.compile(r"Define\s*\(", re.IGNORECASE)
 _NODE_CONCEPT = re.compile(r"\(([\w\s]*?:)`([\w\s.]+)`/")
 # (alias:Type) with an unqualified plain type
 _NODE_PLAIN = re.compile(r"\(([\w\s]*?:)([\w\s.]+)\)")
-# createNodeInstance(type=T, ...) with an unqualified T
-_DDL_TYPE = re.compile(r"(createNodeInstance\s*\([^)]*?type=)([^,\s)]+)", re.IGNORECASE)
+# createNodeInstance( — the type= entry is qualified by a balanced-paren
+# scan (_qualify_ddl_types), not a regex: type= may follow parenthesized
+# value entries like value={name=concat(c.name, "x")}
+_DDL_OPEN = re.compile(r"createNodeInstance\s*\(", re.IGNORECASE)
+_TYPE_ENTRY = re.compile(r"(\btype\s*=\s*)([A-Za-z_][\w.]*)")
 
 
 def _qualify(rule: str, namespace: str) -> str:
@@ -78,16 +81,41 @@ def _qualify(rule: str, namespace: str) -> str:
             return m.group(0)
         return f"({m.group(1)}{namespace}.{t})"
 
-    def ddl_sub(m: re.Match) -> str:
-        t = m.group(2).strip()
-        if "." in t:
-            return m.group(0)
-        return f"{m.group(1)}{namespace}.{t}"
-
     rule = _NODE_CONCEPT.sub(concept_sub, rule)
     rule = _NODE_PLAIN.sub(plain_sub, rule)
-    rule = _DDL_TYPE.sub(ddl_sub, rule)
-    return rule
+    return _qualify_ddl_types(rule, namespace)
+
+
+def _qualify_ddl_types(rule: str, namespace: str) -> str:
+    """Qualify ``type=T`` inside every createNodeInstance(...) call.
+
+    Scans to the call's MATCHING close paren (the type= entry may follow
+    parenthesized value entries, which a non-greedy regex can't cross)."""
+    out = []
+    pos = 0
+    for m in _DDL_OPEN.finditer(rule):
+        start = m.end()  # just past the opening paren
+        depth = 1
+        i = start
+        while i < len(rule) and depth:
+            if rule[i] == "(":
+                depth += 1
+            elif rule[i] == ")":
+                depth -= 1
+            i += 1
+        span = rule[start:i]
+
+        def type_sub(tm: re.Match) -> str:
+            t = tm.group(2)
+            if "." in t:
+                return tm.group(0)
+            return f"{tm.group(1)}{namespace}.{t}"
+
+        out.append(rule[pos:start])
+        out.append(_TYPE_ENTRY.sub(type_sub, span, count=1))
+        pos = i
+    out.append(rule[pos:])
+    return "".join(out)
 
 
 def _complete(
@@ -178,6 +206,13 @@ def parse_rule_file(
             continue
         indent = len(line) - len(line.lstrip())
         if indent == 0:
+            if src is not None:
+                # the previous concept key never got its rule block —
+                # silently reassigning would drop a rule from the file
+                raise ValueError(
+                    f"line {lineno}: concept key `{src[0]}`/`{src[1]}` "
+                    "has no rule: block"
+                )
             m = _NAMESPACE.match(stripped)
             if m:
                 if namespace is not None:
@@ -211,6 +246,11 @@ def parse_rule_file(
                 body = [rest] if rest.strip() else []
     if in_rule:
         raise ValueError("unterminated rule block (missing ]])")
+    if src is not None:
+        raise ValueError(
+            f"concept key `{src[0]}`/`{src[1]}` at end of file has no "
+            "rule: block"
+        )
     return rules
 
 
@@ -232,14 +272,19 @@ def run_rule_file(
     leadTo rule CREATES instances an earlier belongTo rule classifies.
     """
     rules = parse_rule_file(text, subject_types)
+    # parse each rule ONCE — run_script accepts pre-parsed statements and
+    # deep-copies internally, so a fixpoint run re-executes without
+    # re-tokenizing every round
+    parsed = [kgdsl.parse_script(r.dsl) for r in rules]
     g = gql.PropertyGraph(dict(graph.vertices), dict(graph.edges))
     ddl: dict[str, object] = {}
+    converged = not fixpoint
     for round_no in range(max_rounds if fixpoint else 1):
         before = {
             name: frame.count() for name, frame in ddl.items()
         } if fixpoint else {}
-        for r in rules:
-            res = kgdsl.run_script(r.dsl, g, store=store)
+        for stmts in parsed:
+            res = kgdsl.run_script(stmts, g, store=store)
             # truncate lineage on every frame this rule changed — each
             # rule layers joins/unions on the last, and an un-truncated
             # fixpoint run grows the Catalyst plan (not the data!) past
@@ -271,5 +316,16 @@ def run_rule_file(
         if fixpoint:
             after = {name: frame.count() for name, frame in ddl.items()}
             if after == before:
+                converged = True
                 break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"run_rule_file: fixpoint did not converge within "
+            f"max_rounds={max_rounds} — the returned graph may be "
+            "incomplete (the delta-count check is also insensitive to "
+            "row-content churn at constant counts); raise max_rounds",
+            stacklevel=2,
+        )
     return kgdsl.KgdslResult(None, g, ddl)

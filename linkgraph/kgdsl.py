@@ -647,7 +647,9 @@ class _ScriptParser:
             t = self._peek()
             if t == ("name", "Define"):
                 stmts.append(self._define())
-            elif t == ("name", "GraphStructure"):
+            elif t == ("name", "GraphStructure") or self._is_block_head(
+                t, "GraphStructure", "Structure"
+            ):
                 stmts.append(self._base_rule(None))
             else:
                 raise SyntaxError(f"expected Define or GraphStructure, got {t}")
@@ -1703,14 +1705,19 @@ def _run_action_ddl(
             # is a deterministic content hash over type + every property
             # — same properties, same vertex, so re-running the rule
             # upserts instead of duplicating (the reference server
-            # assigns event instance ids internally)
-            id_expr = F.concat_ws(
-                "|",
-                F.lit(ni.type),
-                *[
-                    gql._compile_expr(ex, cols).cast("string")
-                    for _p, ex in sorted(ni.value, key=lambda pv: pv[0])
-                ],
+            # assigns event instance ids internally). to_json gives a
+            # canonical null-safe encoding: separators are escaped and
+            # null fields stay distinguishable (concat_ws would drop
+            # nulls and let ('a|b','c') collide with ('a','b|c')).
+            id_expr = F.to_json(
+                F.struct(
+                    F.lit(ni.type).alias("__type__"),
+                    *[
+                        gql._compile_expr(ex, cols).cast("string").alias(p)
+                        for p, ex in sorted(ni.value, key=lambda pv: pv[0])
+                    ],
+                ),
+                {"ignoreNullFields": "false"},  # keep nulls distinguishable
             )
             exprs = [id_expr.alias("id"), *exprs]
         vid = F.xxhash64(id_expr.cast("string"))
@@ -1719,11 +1726,30 @@ def _run_action_ddl(
         if ni.type in graph.vertices:
             # vid-keyed UPSERT (TableStore convention): re-running the
             # rule — e.g. a concept_rules fixpoint round — replaces the
-            # instance instead of duplicating it
-            base = graph.vertices[ni.type].join(
-                nd.select("vid"), "vid", "left_anti"
+            # instance instead of duplicating it. Column-wise MERGE, not
+            # row replace: an enrichment delta that sets only some
+            # properties must not null out the row's other properties.
+            base = graph.vertices[ni.type]
+            delta = nd
+            shared = [c for c in delta.columns if c in base.columns and c != "vid"]
+            new_only = [c for c in delta.columns if c not in base.columns]
+            delta = delta.select(
+                "vid",
+                *[F.col(c).alias(f"__new_{c}__") for c in shared],
+                *new_only,
             )
-            nd = base.unionByName(nd, allowMissingColumns=True)
+            merged = base.join(delta, "vid", "full").select(
+                "vid",
+                *[
+                    F.coalesce(f"__new_{c}__", c).alias(c)
+                    if c in shared
+                    else F.col(c)
+                    for c in base.columns
+                    if c != "vid"
+                ],
+                *new_only,
+            )
+            nd = merged
         graph.vertices[ni.type] = nd
         if ni.var:
             var_vid[ni.var] = vid
@@ -1750,11 +1776,30 @@ def _run_action_ddl(
         )
         ddl[ei.type] = ("edge", ed)
         if ei.type in graph.edges:
-            # (src, dst)-keyed upsert, matching the TableStore edge_key
-            base = graph.edges[ei.type].join(
-                ed.select("src", "dst"), ["src", "dst"], "left_anti"
+            # (src, dst)-keyed upsert matching the TableStore edge_key —
+            # column-wise merge like the vertex path
+            base = graph.edges[ei.type]
+            shared = [
+                c for c in ed.columns
+                if c in base.columns and c not in ("src", "dst")
+            ]
+            new_only = [c for c in ed.columns if c not in base.columns]
+            delta = ed.select(
+                "src", "dst",
+                *[F.col(c).alias(f"__new_{c}__") for c in shared],
+                *new_only,
             )
-            ed = base.unionByName(ed, allowMissingColumns=True)
+            ed = base.join(delta, ["src", "dst"], "full").select(
+                "src", "dst",
+                *[
+                    F.coalesce(f"__new_{c}__", c).alias(c)
+                    if c in shared
+                    else F.col(c)
+                    for c in base.columns
+                    if c not in ("src", "dst")
+                ],
+                *new_only,
+            )
         graph.edges[ei.type] = ed
     return ddl
 
@@ -1817,10 +1862,30 @@ def run_script(
                         f"Define {name}: unknown vertex label {head.subj_label!r}"
                     )
                 base = g.vertices[head.subj_label]
-                if name in base.columns:  # re-Define = overwrite
-                    base = base.drop(name)
+                if name in base.columns:
+                    if head.concept:
+                        # several concept Defines share one pred (e.g.
+                        # belongTo, one per instance): merge — this
+                        # rule's value where it matched, the earlier
+                        # rules' classifications preserved elsewhere
+                        prev = base.select(
+                            "vid", F.col(name).alias("__prev__")
+                        )
+                        out = (
+                            out.join(prev, "vid", "full")
+                            .select(
+                                "vid",
+                                F.coalesce(name, "__prev__").alias(name),
+                            )
+                        )
+                    base = base.drop(name)  # non-concept re-Define = overwrite
                 g.vertices[head.subj_label] = base.join(out, "vid", "left")
-                ddl[name] = out
+                if head.concept and name in ddl:
+                    ddl[name] = ddl[name].unionByName(
+                        out, allowMissingColumns=True
+                    ).dropDuplicates()
+                else:
+                    ddl[name] = out
                 if head.concept and head.pred == "belongTo" and (
                     head.concept_instance is not None
                 ):

@@ -5,6 +5,7 @@ Envelope + completion semantics from
 fixtures shaped like the riskmining / supplychain example CSVs."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from linkgraph import concept_rules, kgdsl
 from linkgraph.gql import PropertyGraph
@@ -194,6 +195,75 @@ def test_envelope_errors():
         concept_rules.parse_rule_file(
             "namespace A\n\n`T`/`x`:\n    nonsense\n"
         )
+
+
+def test_ddl_type_qualified_after_parenthesized_value(spark):
+    """type= FOLLOWING a parenthesized value entry still gets the
+    namespace (a non-greedy regex can't cross the close paren)."""
+    rule = (
+        'createNodeInstance(value={name=concat(c.name, "x")}, '
+        "type=CompanyEvent)"
+    )
+    out = concept_rules._qualify_ddl_types(rule, "NS")
+    assert "type=NS.CompanyEvent" in out
+    # already-qualified types stay untouched
+    again = concept_rules._qualify_ddl_types(out, "NS")
+    assert again == out
+
+
+def test_unconsumed_concept_key_raises():
+    two_keys = "namespace A\n\n`T`/`x`:\n`U`/`y`:\n    rule: [[ Define (s:E)-[p:belongTo]->(o:`U`/`y`) { Structure { } Constraint { } } ]]\n"
+    with pytest.raises(ValueError, match="no rule"):
+        concept_rules.parse_rule_file(two_keys)
+    with pytest.raises(ValueError, match="end of file"):
+        concept_rules.parse_rule_file("namespace A\n\n`T`/`x`:\n")
+
+
+def test_multi_producer_pred_values_both_survive(spark):
+    """Two belongTo Defines on ONE subject label merge the shared pred
+    property (coalesce) instead of the second overwriting the first."""
+    accounts = spark.createDataFrame(
+        [(1, "a1", 95), (2, "a2", 10)], "vid bigint, id string, score int"
+    )
+    res = kgdsl.run_script(
+        """
+Define (s:Account)-[p:belongTo]->(o:`Tier`/`high`) {
+    GraphStructure { (s) }
+    Rule { R1: s.score >= 90 }
+}
+
+Define (s:Account)-[p:belongTo]->(o:`Tier`/`low`) {
+    GraphStructure { (s) }
+    Rule { R1: s.score < 90 }
+}
+
+GraphStructure { (s:Account) }
+Action { get(s.id, s.belongTo) }
+""",
+        PropertyGraph({"Account": accounts}, {}),
+    )
+    got = {(r["s_id"], r["s_belongTo"]) for r in res.table.collect()}
+    assert got == {("a1", "high"), ("a2", "low")}
+    # the accumulated ddl delta holds BOTH classifications
+    assert res.ddl["belongTo"].count() == 2
+
+
+def test_idless_instance_hash_null_safe(spark):
+    """Content-hash identity distinguishes null-vs-value swaps (to_json
+    with ignoreNullFields=false, not concat_ws which drops nulls)."""
+    rows = spark.createDataFrame(
+        [("x", None, "k1"), (None, "x", "k2")], "a string, b string, id string"
+    )
+    res = kgdsl.run_script(
+        """
+GraphStructure { (r:Rows) }
+Action {
+    createNodeInstance(type=Out, value={ p=r.a  q=r.b })
+}
+""",
+        PropertyGraph({"Rows": rows.withColumn("vid", F.monotonically_increasing_id())}, {}),
+    )
+    assert res.graph.vertices["Out"].select("vid").distinct().count() == 2
 
 
 def test_multi_producer_concept_defines_toposort(spark):
