@@ -77,7 +77,9 @@ def _qualify(rule: str, namespace: str) -> str:
 
     def plain_sub(m: re.Match) -> str:
         t = m.group(2).strip()
-        if "." in t:
+        if "." in t or t.lower() in kgdsl._PRIMITIVE_TYPES:
+            # primitive-typed Define objects ((o:Integer)) are property
+            # targets, not entity labels — never namespace them
             return m.group(0)
         return f"({m.group(1)}{namespace}.{t})"
 

@@ -22,6 +22,14 @@ from pyspark.sql import functions as F
 # scalar functions (reference builtin/udf/*.java)
 # --------------------------------------------------------------------------
 
+def _flex_date(c) -> Column:
+    """A date from an ISO or compact-'yyyyMMdd' string (or a real
+    date/timestamp); null when neither parses."""
+    c = c if isinstance(c, Column) else F.lit(c)
+    s = c.cast("string")
+    return F.coalesce(F.try_to_date(s), F.try_to_date(s, "yyyyMMdd"))
+
+
 SCALARS: dict[str, Callable[..., Column]] = {
     # string (Concat.java, ContainsAny.java, InStr.java, IsBlank.java, …)
     # NB: literal args reach registry callables as raw Python values, and
@@ -65,9 +73,16 @@ SCALARS: dict[str, Callable[..., Column]] = {
     "regex_match": lambda c, pat, idx=0: F.regexp_extract(c, pat, idx),
     # date/time (DateAdd.java, DateDiff.java, FromUnixTime.java, …)
     "date_add": lambda c, n: F.date_add(c, n),
-    "date_diff": lambda a, b: F.datediff(a, b),
+    # DateDiff accepts flexible date-string encodings (the shipped
+    # supplychain.schema rules pass compact 'yyyyMMdd' strings, which a
+    # bare CAST-to-date rejects) — try ISO then compact, null otherwise
+    "date_diff": lambda a, b: F.datediff(_flex_date(a), _flex_date(b)),
     "date_format": lambda c, fmt: F.date_format(c, fmt),
-    "from_unix_time": lambda c: F.from_unixtime(c),
+    # FromUnixTime.java supports (seconds [, java format]) — the 2-arg
+    # form appears in the shipped rules: from_unix_time(now(),'yyyyMMdd')
+    "from_unix_time": lambda c, fmt=None: (
+        F.from_unixtime(c) if fmt is None else F.from_unixtime(c, fmt)
+    ),
     "from_unix_time_ms": lambda c: F.timestamp_millis(c.cast("long")),
     "unix_timestamp": F.unix_timestamp,
     "to_date": F.to_date,
@@ -75,7 +90,9 @@ SCALARS: dict[str, Callable[..., Column]] = {
     "time_diff": lambda a, b: F.unix_timestamp(a) - F.unix_timestamp(b),
     "day_of_week": F.dayofweek,
     "hour_of_day": F.hour,
-    "now": F.current_timestamp,  # Now.java (nondeterministic; no oracle)
+    # Now.java returns UNIX SECONDS (feeds from_unix_time in the shipped
+    # rules); nondeterministic, no oracle
+    "now": lambda: F.unix_timestamp(F.current_timestamp()),
     # TimeUdf.java:21 current_time_millis (nondeterministic; no oracle)
     "current_time_millis": lambda: F.unix_millis(F.current_timestamp()),
     "random": F.rand,  # Random.java (nondeterministic; no oracle)

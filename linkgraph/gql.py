@@ -72,11 +72,17 @@ class PropertyGraph:
             raise ValueError("unlabeled node but multiple vertex tables")
         return next(iter(self.vertices.values()))
 
-    def edge_table(self, rel: str | tuple | None) -> DataFrame:
+    def edge_table(self, rel: str | tuple | None, alias: str | None = None) -> DataFrame:
         if isinstance(rel, tuple):  # [e:A|B] — relTypes set (KGDSL parity)
             return _union_label_tables(self.edges, rel, "rel_type")
         if rel is not None:
             return self.edges[rel]
+        if alias is not None and alias in self.edges:
+            # `[useCert]` — an untyped edge whose ALIAS names a known
+            # edge type refers to that property-edge (the shipped
+            # riskmining.schema release rule's shorthand for the App
+            # useCert object property)
+            return self.edges[alias]
         if len(self.edges) != 1:
             raise ValueError("untyped edge but multiple edge tables")
         return next(iter(self.edges.values()))
@@ -1133,7 +1139,7 @@ def edge_frame(e: EdgePat, graph: PropertyGraph) -> DataFrame:
     reverse-walk swap, so a dst-rooted var-len traversal sees the same
     capped edge set as the forward form. Shared by the inner-join
     lowering here and kgdsl's optional left joins."""
-    edf = graph.edge_table(e.rel)
+    edf = graph.edge_table(e.rel, alias=e.alias)
     for k, v in e.props:
         edf = edf.where(F.col(k) == F.lit(v))
     if e.undirected:

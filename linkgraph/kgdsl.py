@@ -205,6 +205,10 @@ class Statement:
     root: str | None = None  # __start__='true' alias (START_ALIAS analog)
     query: gql.Query = field(default_factory=gql.Query)
     filters: list = field(default_factory=list)  # expr ASTs (conjuncts)
+    # conjuncts referencing a group() aggregate let — HAVING semantics,
+    # applied AFTER the Define's groupBy (riskmining.schema developed:
+    # `deviceNum = group(s,o).count(d); R1: deviceNum > 5`)
+    having: list = field(default_factory=list)
     lets: dict = field(default_factory=dict)  # name -> expr AST (inlined)
     aggs: dict = field(default_factory=dict)  # name -> (group_aliases, fn, arg ASTs)
     propsets: list = field(default_factory=list)  # (alias, prop, expr AST)
@@ -259,7 +263,7 @@ class Statement:
                 out.add(n.label)
         # property references: alias.prop consumes prop (a Define's output)
         refs: set[str] = set()
-        for f2 in self.filters:
+        for f2 in list(self.filters) + list(self.having):
             gql._expr_refs(f2, refs)
         for _a, ex in self.node_constraints:
             gql._expr_refs(ex, refs)
@@ -742,6 +746,14 @@ class _ScriptParser:
             self._next()
             self._parse_action(stmt, self._block())
         _fix_varlen_refs(stmt)
+        # a conjunct referencing a group() aggregate let is a HAVING
+        # condition — it can only bind after the Define's groupBy
+        if stmt.aggs:
+            having, pre = [], []
+            for f2 in stmt.filters:
+                (having if _refs_agg_let(f2, stmt.aggs) else pre).append(f2)
+            stmt.filters = pre
+            stmt.having = having
         return stmt
 
     def _parse_graph_structure(self, stmt: Statement, toks) -> None:
@@ -964,7 +976,19 @@ class _ScriptParser:
                     )
                 stmt.filters.append(ex)
                 continue
-            # name = ... | alias.prop = ...
+            # name = ... | alias.prop = ... | name("desc") = ...
+            # (described assignment — project_rule_expression allows the
+            # explanation parens on lets too: supplychain.schema
+            # `otherTransSum("总共转入金额") = group(s).sum(...)`)
+            if (
+                len(line) > 4
+                and line[0][0] == "name"
+                and line[1] == ("op", "(")
+                and line[2][0] == "str"
+                and line[3] == ("op", ")")
+                and line[4] == ("op", "=")
+            ):
+                line = [line[0], ("op", "=")] + line[5:]
             if len(line) > 1 and line[0][0] == "name" and line[1] == ("op", "="):
                 target, body = line[0][1], line[2:]
                 if self._is_group_call(body):
@@ -1317,6 +1341,7 @@ def _bind_stmt_params(stmt: Statement, params: dict | None) -> Statement:
     parsed script must be reusable with different params."""
     p = params or {}
     stmt.filters = [gql.bind_params(f2, p) for f2 in stmt.filters]
+    stmt.having = [gql.bind_params(h, p) for h in stmt.having]
     stmt.node_constraints = [
         (a, gql.bind_params(ex, p)) for a, ex in stmt.node_constraints
     ]
@@ -1341,6 +1366,66 @@ def _bind_stmt_params(stmt: Statement, params: dict | None) -> Statement:
     for ei in stmt.edge_instances:
         ei.value = [(k, gql.bind_params(ex, p)) for k, ex in ei.value]
     return stmt
+
+
+def _collect_refs(ex, out: set) -> None:
+    """Every ("ref", alias, prop) pair inside an expression AST."""
+    if isinstance(ex, tuple) and ex and ex[0] == "ref":
+        out.add((ex[1], ex[2]))
+        return
+    items = ex if isinstance(ex, list) else (
+        ex[1:] if isinstance(ex, tuple) else ()
+    )
+    for a in items:
+        if isinstance(a, (tuple, list)):
+            _collect_refs(a, out)
+
+
+def _having_cols(stmt: Statement, lets, cols: set, group_keys: list):
+    """Aggregate columns a HAVING pass needs beyond the Define's own
+    outputs: the referenced group() lets (aliased ``<name>__vid`` so the
+    plain ref compiles against the post-agg frame) and any per-group
+    property refs (carried via F.min — constant within a group for
+    subject/object properties)."""
+    if not stmt.having:
+        return []
+    refs: set = set()
+    for h in stmt.having:
+        _collect_refs(_inline_lets(h, lets), refs)
+    extra = []
+    for alias, prop in sorted(refs, key=str):
+        if prop is None and alias in stmt.aggs:
+            _aliases, fn, args = stmt.aggs[alias]
+            args = [_inline_lets(a, lets) for a in args]
+            extra.append(_agg_column(fn, args, cols).alias(f"{alias}__vid"))
+            continue
+        col = f"{alias}__{prop}" if prop else f"{alias}__vid"
+        if col in cols and col not in group_keys:
+            extra.append(F.min(col).alias(col))
+    return extra
+
+
+def _apply_having(stmt: Statement, lets, out: DataFrame) -> DataFrame:
+    if not stmt.having:
+        return out
+    ocols = set(out.columns)
+    for h in stmt.having:
+        out = out.where(gql._compile_expr(_inline_lets(h, lets), ocols))
+    return out
+
+
+def _refs_agg_let(ex, aggs: dict) -> bool:
+    """True when the expression references a bare name bound by a
+    ``group()`` aggregation (``("ref", name, None)`` with name in aggs)."""
+    if isinstance(ex, (list,)):
+        return any(_refs_agg_let(a, aggs) for a in ex)
+    if not isinstance(ex, tuple):
+        return False
+    if ex[0] == "ref" and ex[2] is None and ex[1] in aggs:
+        return True
+    return any(
+        _refs_agg_let(a, aggs) for a in ex[1:] if isinstance(a, (tuple, list))
+    )
 
 
 def _matched(stmt: Statement, graph: gql.PropertyGraph) -> DataFrame:
@@ -1573,8 +1658,10 @@ def _run_define(
                 )
             args = [_inline_lets(a, lets) for a in args]
             out = df.groupBy(skey).agg(
-                _agg_column(fn, args, cols).alias(head.pred)
+                _agg_column(fn, args, cols).alias(head.pred),
+                *_having_cols(stmt, lets, cols, [skey]),
             )
+            out = _apply_having(stmt, lets, out)
             return head.pred, out.select(F.col(skey).alias("vid"), head.pred)
         if head.obj in lets:
             val = gql._compile_expr(lets[head.obj], cols)
@@ -1612,6 +1699,7 @@ def _run_define(
         )
     group_keys = [skey, okey]
     agg_cols = []
+    keep_props: list[str] = []
     plain_sets = []
     for alias, prop, ex in stmt.propsets:
         if alias != head.pred_alias:
@@ -1620,6 +1708,7 @@ def _run_define(
             aliases, fn, args = stmt.aggs[ex[2]]
             args = [_inline_lets(a, lets) for a in args]
             agg_cols.append(_agg_column(fn, args, cols).alias(prop))
+            keep_props.append(prop)
         else:
             plain_sets.append((prop, _inline_lets(ex, lets)))
     # let-only aggs assigned via `x = group(...)...; p.y = x`
@@ -1628,6 +1717,7 @@ def _run_define(
             aliases, fn, args = stmt.aggs[ex[1]]
             args = [_inline_lets(a, lets) for a in args]
             agg_cols.append(_agg_column(fn, args, cols).alias(prop))
+            keep_props.append(prop)
             plain_sets.remove((prop, ex))
     if plain_sets:
         # non-aggregated props: compute per row, take per-pair min for a
@@ -1638,13 +1728,18 @@ def _run_define(
         df = df.select(*df.columns, *exprs)
         cols = set(df.columns)
         agg_cols.extend(F.min(prop).alias(prop) for prop, _ in plain_sets)
-    out = df.groupBy(*group_keys).agg(*agg_cols) if agg_cols else (
-        df.select(*group_keys).dropDuplicates()
+        keep_props.extend(prop for prop, _ in plain_sets)
+    extra = _having_cols(stmt, lets, cols, group_keys)
+    out = (
+        df.groupBy(*group_keys).agg(*agg_cols, *extra)
+        if (agg_cols or extra)
+        else df.select(*group_keys).dropDuplicates()
     )
+    out = _apply_having(stmt, lets, out)
     out = out.select(
         F.col(skey).alias("src"),
         F.col(okey).alias("dst"),
-        *[c for c in out.columns if c not in group_keys],
+        *[c for c in out.columns if c in keep_props],
     )
     return head.pred, out
 

@@ -1372,3 +1372,52 @@ Action { get(b.vid, f, l) }
     )
     got = {(r["b_vid"], r["f"], r["l"]) for r in res.table.collect()}
     assert got == {(3, 1, 3), (1, 1, 1), (4, 1, 4)}
+
+
+def test_having_filter_on_agg_let(fund_graph):
+    """A Rule conjunct referencing a group() let is a HAVING condition
+    (riskmining.schema developed: `deviceNum = group(s,o).count(d);
+    R1: deviceNum > 5`) — applied after the Define's groupBy, and it may
+    mix per-group property refs (mainSupply divides by s.<prop>)."""
+    res = run_script(
+        """
+Define (a:Account)-[p:bigSender]->(o:Account) {
+    GraphStructure { (a)-[t:transfer]->(o) }
+    Rule {
+        total = group(a, o).sum(t.amount)
+        R1: total > 60.0
+    }
+}
+
+GraphStructure { (a:Account)-[e:bigSender]->(b:Account) }
+Action { get(a.id, b.id) }
+""",
+        fund_graph,
+    )
+    got = {(r["a_id"], r["b_id"]) for r in res.table.collect()}
+    # acc1->acc2 total 100, acc2->acc3 total 70; the rest are <= 60
+    assert got == {("acc1", "acc2"), ("acc2", "acc3")}
+
+
+def test_having_on_add_property(fund_graph):
+    """HAVING on the AddProperty path: only subjects whose aggregate
+    passes get the derived property at all."""
+    res = run_script(
+        """
+Define (a:Account)-[p:fanout]->(o:Int) {
+    GraphStructure { (a)-[t:transfer]->(b:Account) }
+    Rule {
+        n = group(a).count(b.vid)
+        R1: n >= 2
+        o = n
+    }
+}
+
+GraphStructure { (a:Account) }
+Rule { R0: a.fanout != null }
+Action { get(a.id, a.fanout) }
+""",
+        fund_graph,
+    )
+    got = {(r["a_id"], r["a_fanout"]) for r in res.table.collect()}
+    assert got == {("acc1", 2), ("acc2", 2)}
