@@ -2,12 +2,17 @@
 with typed metadata.
 
 The Spark side (schema, partitioning, Arrow batch shape, UDF signatures)
-is real and tested. Kernels decoded FOR REAL with stdlib only: WAV
-(``wave``), uncompressed BMP (header math), and 8-bit non-interlaced
-PNG (``zlib`` inflate + scanline unfilter). Remaining codec-dependent
-formats (JPEG, palette/16-bit PNG, video) try Pillow and otherwise
-raise a clearly-marked NotImplementedError — the honest stub boundary;
-real decoders drop in behind the same signature.
+is real and tested. Kernels decoded FOR REAL with stdlib+numpy only: WAV
+(``wave``), uncompressed BMP (header math), full PNG (``zlib`` inflate +
+scanline unfilter; every legal IHDR — gray/rgb/palette/gray+a/rgba,
+depths 1/2/4/8/16, Adam7), GIF (LZW + color table + deinterlace),
+baseline JPEG (Huffman + IDCT + chroma upsample — ``jpeg.py``), AVI
+frame sampling (RIFF walk; MJPEG/raw-DIB frames — ``video.py``), and
+nearest-neighbor resize over any of those (re-encoded as PNG). Formats
+that genuinely need an external codec (progressive/arithmetic JPEG,
+compressed video codecs) try Pillow/av and otherwise raise a
+clearly-marked NotImplementedError — the honest stub boundary; real
+decoders drop in behind the same signature.
 
 Fixture binary format (deterministic fake "image"):
     b"FAKEIMG" + width:uint16 + height:uint16 + channels:uint8 + payload
@@ -37,99 +42,107 @@ def encode_fake_image(width: int, height: int, channels: int, seed: int) -> byte
     return FAKE_MAGIC + struct.pack("<HHB", width, height, channels) + payload.tobytes()
 
 
-def decode_image_bytes(blob: bytes) -> dict:
-    """Decode one image blob to metadata + pixel stats.
+def _decode_bmp_pixels(blob: bytes) -> np.ndarray | None:
+    """REAL uncompressed 24/32-bit BMP: pure header math, no codec
+    needed (BITMAPINFOHEADER layout; rows bottom-up, 4-byte padded).
+    Returns None for BMP variants we don't cover (RLE, palette)."""
+    off, = struct.unpack_from("<I", blob, 10)
+    w, h = struct.unpack_from("<ii", blob, 18)
+    bpp, = struct.unpack_from("<H", blob, 28)
+    comp, = struct.unpack_from("<I", blob, 30)
+    if comp != 0 or bpp not in (24, 32):
+        return None
+    c = bpp // 8
+    habs = abs(h)
+    stride = (w * c + 3) & ~3
+    # validate the header against the actual buffer: corrupt or
+    # truncated headers must raise cleanly (callers route this
+    # through on_error), never feed negative counts to numpy
+    if w <= 0 or habs == 0 or off + stride * habs > len(blob):
+        raise ValueError("corrupt BMP: header inconsistent with buffer")
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=stride * habs, offset=off
+    ).reshape(habs, stride)
+    px = rows[:, : w * c].reshape(habs, w, c)
+    return px[::-1] if h > 0 else px  # bottom-up storage -> top-down
 
-    Tries a real decoder (Pillow) if importable; otherwise requires the
-    deterministic fake format. Raises NotImplementedError for real image
-    bytes when no codec library is present — by design (stub boundary).
-    """
+
+def decode_image_pixels(blob: bytes) -> np.ndarray:
+    """Decode one image blob to a uint8 (or uint16 for 16-bit PNG)
+    pixel array (h, w, c) — the shared kernel behind metadata, resize,
+    and fixtures. All container formats decode for real with
+    stdlib+numpy; only variants that genuinely need an external codec
+    (progressive JPEG, exotic BMP) fall through to Pillow and otherwise
+    raise NotImplementedError."""
     if blob.startswith(FAKE_MAGIC):
         w, h, c = struct.unpack("<HHB", blob[7:12])
         px = np.frombuffer(blob[12 : 12 + w * h * c], dtype=np.uint8)
-        return {
-            "width": w,
-            "height": h,
-            "channels": c,
-            "n_bytes": len(blob),
-            "mean_value": float(px.mean()) if px.size else 0.0,
-        }
+        if px.size != w * h * c:
+            raise ValueError("corrupt FAKEIMG: payload shorter than header dims")
+        return px.reshape(h, w, c)
     if blob.startswith(b"BM") and len(blob) >= 54:
-        # REAL uncompressed 24/32-bit BMP: pure header math, no codec
-        # needed (BITMAPINFOHEADER layout; rows bottom-up, 4-byte padded)
-        off, = struct.unpack_from("<I", blob, 10)
-        w, h = struct.unpack_from("<ii", blob, 18)
-        bpp, = struct.unpack_from("<H", blob, 28)
-        comp, = struct.unpack_from("<I", blob, 30)
-        if comp == 0 and bpp in (24, 32):
-            c = bpp // 8
-            habs = abs(h)
-            stride = (w * c + 3) & ~3
-            # validate the header against the actual buffer: corrupt or
-            # truncated headers must raise cleanly (callers route this
-            # through on_error), never feed negative counts to numpy
-            if w <= 0 or habs == 0 or off + stride * habs > len(blob):
-                raise ValueError("corrupt BMP: header inconsistent with buffer")
-            rows = [
-                np.frombuffer(blob, dtype=np.uint8, count=w * c, offset=off + r * stride)
-                for r in range(habs)
-            ]
-            px = np.concatenate(rows) if rows else np.array([], dtype=np.uint8)
-            return {
-                "width": w,
-                "height": habs,
-                "channels": c,
-                "n_bytes": len(blob),
-                "mean_value": float(px.mean()) if px.size else 0.0,
-            }
-    if blob.startswith(PNG_MAGIC):
+        px = _decode_bmp_pixels(blob)
+        if px is not None:
+            return px
+    elif blob.startswith(PNG_MAGIC):
         # REAL PNG: stdlib zlib + IHDR chunk walk + per-scanline
-        # unfiltering — no codec library needed (8-bit, non-interlaced;
-        # palette/16-bit/interlaced still route to the Pillow fallback)
-        meta = _decode_png_bytes(blob)
-        if meta is not None:
-            return meta
-    if blob.startswith((b"GIF87a", b"GIF89a")) and len(blob) >= 11:
-        # REAL GIF header: logical-screen width/height (u16 LE at 6/8)
-        # + palette size from the packed flags byte; pixels (LZW) stay
-        # behind the Pillow stub boundary
-        w, h = struct.unpack_from("<HH", blob, 6)
-        packed = blob[10]
-        if w > 0 and h > 0:
-            return {
-                "width": w,
-                "height": h,
-                # color resolution bits -> treat as paletted single plane
-                "channels": 1 if packed & 0x80 else 0,
-                "n_bytes": len(blob),
-                "mean_value": None,  # pixels not decoded (stub boundary)
-            }
-    if blob.startswith(b"\xff\xd8"):
-        # REAL JPEG header: SOF marker walk (ITU T.81 §B.2.2) gives
-        # dimensions/components with no codec; pixel decode (and so
-        # mean_value) stays behind the Pillow stub boundary
-        meta = _jpeg_header_dims(blob)
-        if meta is not None:
-            return meta
+        # unfiltering. Covers every legal IHDR: gray/rgb/palette/
+        # gray+a/rgba, depths 1/2/4/8/16, non-interlaced and Adam7.
+        return _decode_png_pixels(blob)
+    elif blob.startswith((b"GIF87a", b"GIF89a")) and len(blob) >= 13:
+        # REAL GIF decode: LZW decompression + color-table mapping +
+        # deinterlace, pure stdlib (GIF89a spec §§18-23)
+        return _decode_gif_pixels(blob)[0]
+    elif blob.startswith(b"\xff\xd8"):
+        # REAL baseline JPEG (ITU T.81: Huffman + dequant + IDCT +
+        # chroma upsample — jpeg.py). Progressive/arithmetic streams
+        # raise NotImplementedError for the caller to handle.
+        from linkgraph.pipeline import jpeg as _jpeg
+
+        px = _jpeg.decode_jpeg(blob)
+        return px.reshape(px.shape[0], px.shape[1], 1) if px.ndim == 2 else px
     try:  # pragma: no cover - codec not installed in this container
         import io
 
         from PIL import Image
 
-        img = Image.open(io.BytesIO(blob))
-        arr = np.asarray(img)
-        return {
-            "width": img.width,
-            "height": img.height,
-            "channels": arr.shape[2] if arr.ndim == 3 else 1,
-            "n_bytes": len(blob),
-            "mean_value": float(arr.mean()),
-        }
+        arr = np.asarray(Image.open(io.BytesIO(blob)))
+        return arr.reshape(*arr.shape, 1) if arr.ndim == 2 else arr
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(
-            "real image decoding needs Pillow; only the FAKEIMG fixture "
-            "format is supported in this container"
+            "this image variant needs Pillow; native stdlib decode covers "
+            "FAKEIMG, BMP(24/32), PNG, GIF, and baseline JPEG"
         ) from e
+
+
+def decode_image_bytes(blob: bytes) -> dict:
+    """Decode one image blob to metadata + pixel stats (the
+    ``image_metadata`` kernel). GIF reports logical-screen dimensions
+    with stats over the first frame; a progressive JPEG degrades to the
+    SOF header walk — real dimensions, ``mean_value`` null."""
+    if blob.startswith((b"GIF87a", b"GIF89a")) and len(blob) >= 13:
+        rgb, (w, h) = _decode_gif_pixels(blob)
+        return {
+            "width": w, "height": h, "channels": 3, "n_bytes": len(blob),
+            "mean_value": float(rgb.mean()) if rgb.size else 0.0,
+        }
+    if blob.startswith(b"\xff\xd8"):
+        try:
+            px = decode_image_pixels(blob)
+        except (NotImplementedError, ValueError):
+            meta = _jpeg_header_dims(blob)
+            if meta is not None:
+                return meta
+            raise
+    else:
+        px = decode_image_pixels(blob)
+    return {
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "channels": int(px.shape[2]),
+        "n_bytes": len(blob),
+        "mean_value": float(px.mean()) if px.size else 0.0,
+    }
 
 
 def _jpeg_header_dims(blob: bytes) -> dict | None:
@@ -171,58 +184,287 @@ def _jpeg_header_dims(blob: bytes) -> dict | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# GIF: real LZW pixel decode, stdlib-only (GIF89a spec, 1990-07-31 rev)
+# ---------------------------------------------------------------------------
+
+_GIF_MAX_CODE = 4096  # 12-bit LZW code-width ceiling (spec appendix F)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """Decompress a GIF LZW stream (variable 3..12-bit codes, LSB-first)
+    into ``expected`` palette indices. Table resets on CLEAR; width grows
+    when the next free code would not fit (spec appendix F)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    total_bits = len(data) * 8
+    bitpos = 0
+    width = min_code_size + 1
+    table: list[bytes] = []
+    next_code = end + 1
+    prev: bytes | None = None
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    while bitpos + width <= total_bits and len(out) < expected:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            next_code = end + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt GIF: first LZW code out of range")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("corrupt GIF: LZW code out of range")
+            if next_code < _GIF_MAX_CODE:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("corrupt GIF: truncated LZW data")
+    return bytes(out[:expected])
+
+
+def _decode_gif_pixels(blob: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """Decode the FIRST image frame of a GIF87a/89a stream: block walk
+    (extensions skipped), local/global color table, LZW indices,
+    deinterlace. Returns (frame RGB pixels (fh, fw, 3), logical-screen
+    (w, h)) — the frame can be smaller than the logical screen."""
+    w, h = struct.unpack_from("<HH", blob, 6)
+    packed = blob[10]
+    pos = 13
+    gct: bytes | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = blob[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"corrupt GIF: unknown block 0x{b:02x}")
+        # image descriptor
+        _left, _top, fw, fh = struct.unpack_from("<HHHH", blob, pos + 1)
+        ipacked = blob[pos + 9]
+        pos += 10
+        lct: bytes | None = None
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            lct = blob[pos : pos + 3 * n]
+            pos += 3 * n
+        interlaced = bool(ipacked & 0x40)
+        min_code = blob[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError("corrupt GIF: bad LZW minimum code size")
+        data = bytearray()
+        while pos < len(blob) and blob[pos] != 0:
+            ln = blob[pos]
+            data += blob[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        table = lct or gct
+        if table is None or fw == 0 or fh == 0:
+            raise ValueError("corrupt GIF: frame without a color table")
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(data), min_code, fw * fh), dtype=np.uint8
+        ).reshape(fh, fw)
+        if interlaced:  # 4-pass row shuffle (spec §20, appendix E)
+            order = np.concatenate(
+                [np.arange(0, fh, 8), np.arange(4, fh, 8),
+                 np.arange(2, fh, 4), np.arange(1, fh, 2)]
+            )
+            deint = np.empty_like(idx)
+            deint[order] = idx
+            idx = deint
+        pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("corrupt GIF: palette index out of range")
+        return pal[idx], (int(w), int(h))
+    raise ValueError("corrupt GIF: no image frame before trailer")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray, interlaced: bool = False) -> bytes:
+    """Minimal GIF89a writer for fixtures/round-trip tests: one frame of
+    palette indices (h, w) uint8 + palette (n, 3) uint8. Emits literal
+    LZW codes while mirroring the decoder's table/width growth, with a
+    CLEAR whenever the code table would overflow — spec-conformant, just
+    not compressive."""
+    h, w = indices.shape
+    n_colors = max(2, int(palette.shape[0]))
+    cbits = max(1, (n_colors - 1).bit_length())
+    table_n = 1 << cbits
+    pal = np.zeros((table_n, 3), dtype=np.uint8)
+    pal[: palette.shape[0]] = palette
+    min_code = max(2, cbits)
+    clear = 1 << min_code
+    end = clear + 1
+
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    width = min_code + 1
+    next_code = end + 1
+    emit(clear, width)
+    first = True
+    if interlaced:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        stream = indices[order].ravel()
+    else:
+        stream = indices.ravel()
+    for px in stream:
+        emit(int(px), width)
+        if first:
+            first = False
+            continue
+        # mirror the decoder: each post-first code grows its table by one
+        if next_code < _GIF_MAX_CODE:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        if next_code >= _GIF_MAX_CODE - 1:
+            emit(clear, width)
+            width = min_code + 1
+            next_code = end + 1
+            first = True
+    emit(end, width)
+    if nacc:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (cbits - 1))  # GCT present, size 2^cbits
+    out += b"\x00\x00"  # bg index, aspect
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlaced else 0x00)
+    out.append(min_code)
+    for i in range(0, len(bits), 255):
+        block = bits[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+# channels per color type: gray, rgb, palette (1 index), gray+a, rgba
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal bit depths per color type (PNG spec §11.2.2, table in IHDR)
+_PNG_DEPTHS = {0: {1, 2, 4, 8, 16}, 2: {8, 16}, 3: {1, 2, 4, 8},
+               4: {8, 16}, 6: {8, 16}}
+# Adam7 interlace pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, c: int) -> np.ndarray:
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int, pos: int = 0) -> np.ndarray:
     """Reverse the PNG per-scanline filters (spec §9: None/Sub/Up/
-    Average/Paeth). Sub is a strided cumulative sum; Average/Paeth have
-    a left-pixel dependency and fall back to a per-byte loop — fine at
+    Average/Paeth) over ``h`` scanlines of ``stride`` bytes starting at
+    byte ``pos``; ``bpp`` is the filter byte-distance (ceil of bits per
+    pixel / 8). Sub is a strided cumulative sum; Average/Paeth have a
+    left-byte dependency and fall back to a per-byte loop — fine at
     metadata scale, and fixture PNGs are filter-0."""
-    stride = w * c
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
-    pos = 0
     for r in range(h):
         ftype = raw[pos]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
         pos += 1 + stride
         if ftype == 0:
             rec = line.astype(np.int64)
-        elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x-c]
+        elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
             rec = line.astype(np.int64).copy()
-            for k in range(c):
-                rec[k::c] = np.cumsum(rec[k::c]) % 256
+            for k in range(bpp):
+                rec[k::bpp] = np.cumsum(rec[k::bpp]) % 256
         elif ftype == 2:  # Up
             rec = (line + prev) % 256
-        else:  # Average (3) / Paeth (4): sequential left dependency
+        elif ftype in (3, 4):  # Average / Paeth: sequential left dependency
             rec = np.zeros(stride, dtype=np.int64)
             for x in range(stride):
-                a = rec[x - c] if x >= c else 0
+                a = rec[x - bpp] if x >= bpp else 0
                 b = prev[x]
                 if ftype == 3:
                     rec[x] = (line[x] + (a + b) // 2) % 256
                 else:
-                    cc = prev[x - c] if x >= c else 0
+                    cc = prev[x - bpp] if x >= bpp else 0
                     p = a + b - cc
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
                     rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"corrupt PNG: unknown filter type {ftype}")
         out[r] = rec.astype(np.uint8)
         prev = rec
     return out
 
 
-def _decode_png_bytes(blob: bytes) -> dict | None:
-    """Parse PNG chunks; returns metadata + pixel mean for 8-bit
-    non-interlaced gray/rgb/rgba, None for variants we leave to a real
-    codec (palette, 16-bit, interlaced)."""
+def _png_unpack_samples(rows: np.ndarray, w: int, c: int, depth: int) -> np.ndarray:
+    """Unfiltered scanline bytes (h, stride) -> sample array (h, w*c).
+    uint8 for depths <=8 (sub-byte depths are NOT rescaled — raw index /
+    gray levels), uint16 for depth 16 (big-endian per spec §7.1)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * c]
+    if depth == 16:
+        pairs = rows[:, : w * c * 2].reshape(h, w * c, 2).astype(np.uint16)
+        return pairs[:, :, 0] * 256 + pairs[:, :, 1]
+    # depths 1/2/4 are only legal for 1-channel types (gray, palette):
+    # unpack MSB-first bit groups, keep the first w samples of each row
+    bits = np.unpackbits(rows, axis=1)
+    groups = bits[:, : (bits.shape[1] // depth) * depth].reshape(h, -1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (groups * weights).sum(axis=2).astype(np.uint8)[:, : w * c]
+
+
+def _decode_png_pixels(blob: bytes) -> np.ndarray:
+    """Full PNG decode with stdlib zlib + numpy: every legal IHDR shape —
+    gray/rgb/palette/gray+alpha/rgba at bit depths 1/2/4/8/16, filters
+    0-4, both non-interlaced and Adam7 — so nothing routes to the Pillow
+    fallback (spec: RFC 2083 / W3C PNG §§7-9). Palette images come back
+    as palette-mapped RGB; 16-bit images keep raw uint16 samples."""
     import zlib
 
     pos = len(PNG_MAGIC)
     w = h = depth = ctype = interlace = None
     idat = bytearray()
+    plte: bytes | None = None
     while pos + 8 <= len(blob):
         (length,) = struct.unpack_from(">I", blob, pos)
         tag = blob[pos + 4 : pos + 8]
@@ -232,6 +474,8 @@ def _decode_png_bytes(blob: bytes) -> dict | None:
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+        elif tag == b"PLTE":
+            plte = bytes(data)
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":
@@ -239,19 +483,48 @@ def _decode_png_bytes(blob: bytes) -> dict | None:
     if w is None or not idat:
         raise ValueError("corrupt PNG: missing IHDR/IDAT")
     c = _PNG_CHANNELS.get(ctype)
-    if c is None or depth != 8 or interlace != 0:
-        return None  # palette/16-bit/interlaced -> real codec fallback
+    if c is None or depth not in _PNG_DEPTHS.get(ctype, set()) or interlace > 1:
+        raise ValueError(
+            f"corrupt PNG: illegal IHDR (ctype={ctype}, depth={depth})"
+        )
+    if ctype == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("corrupt PNG: palette image without a valid PLTE")
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (w * c + 1):
-        raise ValueError("corrupt PNG: IDAT size inconsistent with IHDR")
-    px = _png_unfilter(raw, w, h, c)
-    return {
-        "width": w,
-        "height": h,
-        "channels": c,
-        "n_bytes": len(blob),
-        "mean_value": float(px.mean()) if px.size else 0.0,
-    }
+    bpp = max(1, (c * depth) // 8)  # filter byte-distance
+
+    def stride_of(width: int) -> int:
+        return (width * c * depth + 7) // 8
+
+    if interlace == 0:
+        if len(raw) != h * (1 + stride_of(w)):
+            raise ValueError("corrupt PNG: IDAT size inconsistent with IHDR")
+        samples = _png_unpack_samples(_png_unfilter(raw, h, stride_of(w), bpp), w, c, depth)
+        image = samples.reshape(h, w, c)
+    else:  # Adam7: seven independently-filtered sub-images, scattered back
+        image = np.zeros((h, w, c), dtype=np.uint16 if depth == 16 else np.uint8)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sp = stride_of(wp)
+            if pos2 + hp * (1 + sp) > len(raw):
+                raise ValueError("corrupt PNG: truncated Adam7 pass data")
+            sub = _png_unpack_samples(
+                _png_unfilter(raw, hp, sp, bpp, pos=pos2), wp, c, depth
+            ).reshape(hp, wp, c)
+            pos2 += hp * (1 + sp)
+            image[y0::dy, x0::dx, :] = sub
+        if pos2 != len(raw):
+            raise ValueError("corrupt PNG: IDAT size inconsistent with Adam7 passes")
+    if ctype == 3:  # palette: map indices -> RGB
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = image[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("corrupt PNG: palette index out of range")
+        image = pal[idx]
+    return image
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
@@ -327,27 +600,74 @@ def image_metadata(
     ).mapInPandas(_batches, IMAGE_META_SCHEMA)
 
 
-def resize_stub(df: DataFrame, width: int, height: int, blob_col: str = "image") -> DataFrame:
-    """Resize plumbing: schema/partition-preserving identity transform with
-    the real UDF signature; the kernel raises until a codec lib exists."""
-
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
-        raise NotImplementedError("image resize needs a codec library (Pillow)")
-        yield  # noqa: unreachable — generator shape
-
-    return df.mapInPandas(_batches, df.schema)
-
-
-def frame_sample_stub(
-    df: DataFrame, every_n: int = 30, blob_col: str = "video"
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "id",
+    blob_col: str = "image",
+    on_error: str = "raise",
 ) -> DataFrame:
-    """Video frame sampling plumbing (schema real, kernel stubbed)."""
+    """REAL resize kernel: decode (any natively-supported format) →
+    nearest-neighbor resample → re-encode as filter-0 PNG. Nearest-
+    neighbor is deterministic and codec-free; 16-bit sources are
+    narrowed to 8 bits (high byte) for the PNG writer. Output schema:
+    (id, image binary, width int, height int) — undecodable blobs
+    null-pad when ``on_error="null"``."""
+    if width <= 0 or height <= 0:
+        raise ValueError("resize target must be positive")
 
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
-        raise NotImplementedError("video decoding needs an av library")
-        yield
+    def _one(blob: bytes) -> bytes:
+        px = decode_image_pixels(bytes(blob))
+        if px.dtype != np.uint8:
+            px = (px >> 8).astype(np.uint8)
+        h0, w0 = px.shape[:2]
+        ys = np.minimum((np.arange(height) * h0) // height, h0 - 1)
+        xs = np.minimum((np.arange(width) * w0) // width, w0 - 1)
+        out = px[ys][:, xs]
+        if out.shape[2] == 1:
+            out = out[:, :, 0]
+        return encode_png(out)
 
-    return df.mapInPandas(_batches, df.schema)
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs: list[bytes | None] = []
+            for blob in pdf[blob_col]:
+                if on_error == "null":
+                    try:
+                        blobs.append(_one(blob))
+                    except Exception:
+                        blobs.append(None)
+                else:
+                    blobs.append(_one(blob))
+            yield pd.DataFrame({
+                "id": pdf[id_col].values,
+                "image": blobs,
+                "width": [None if b is None else width for b in blobs],
+                "height": [None if b is None else height for b in blobs],
+            })
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(blob_col).alias(blob_col)
+    ).mapInPandas(_batches, "id bigint, image binary, width int, height int")
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 30,
+    id_col: str = "id",
+    blob_col: str = "video",
+    on_error: str = "raise",
+) -> DataFrame:
+    """Video frame sampling — real AVI kernel (RIFF walk; MJPEG frames
+    through the baseline JPEG decoder, raw-DIB frames through BMP row
+    math); compressed codecs stay behind the av stub boundary. See
+    linkgraph.pipeline.video for the container parse."""
+    from linkgraph.pipeline.video import video_frame_stats
+
+    return video_frame_stats(
+        df, every_n=every_n, id_col=id_col, blob_col=blob_col, on_error=on_error
+    )
 
 
 # ---------------------------------------------------------------------------

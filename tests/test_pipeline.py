@@ -563,14 +563,71 @@ def test_image_metadata_real_png(spark):
     meta = multimodal.decode_image_bytes(blob)
     assert abs(meta["mean_value"] - float(px.mean())) < 1e-9
 
-    # unsupported variant (16-bit) falls through to the stub boundary
+    # 16-bit gray decodes for real now (big-endian samples, spec §7.1)
+    vals16 = np.array([[0, 65535], [256, 512]], dtype=np.uint16)
+    raw16 = b"".join(b"\x00" + vals16[r].astype(">u2").tobytes() for r in range(2))
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     blob16 = (multimodal.PNG_MAGIC + chunk(b"IHDR", ihdr16)
-              + chunk(b"IDAT", zlib.compress(b"\x00" * 18)) + chunk(b"IEND", b""))
-    import pytest as _pytest
+              + chunk(b"IDAT", zlib.compress(raw16)) + chunk(b"IEND", b""))
+    meta16 = multimodal.decode_image_bytes(blob16)
+    assert (meta16["width"], meta16["height"], meta16["channels"]) == (2, 2, 1)
+    assert abs(meta16["mean_value"] - float(vals16.mean())) < 1e-9
 
-    with _pytest.raises(NotImplementedError):
-        multimodal.decode_image_bytes(blob16)
+
+def test_png_palette_subbyte_and_adam7():
+    """The PNG decoder covers every legal IHDR: 4-bit palette images map
+    through PLTE to RGB, 1-bit gray unpacks MSB-first, and an Adam7
+    stream scatters its seven passes back to the right pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from linkgraph.pipeline import multimodal
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    def png(ihdr_fields, raw, plte=None):
+        out = multimodal.PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # 4-bit palette, 3x2: indices 0..5 packed two per byte, MSB-first
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                    [10, 20, 30], [40, 50, 60], [70, 80, 90]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [3, 4, 5]], dtype=np.uint8)
+    rows = []
+    for r in range(2):
+        packed = bytes([idx[r, 0] << 4 | idx[r, 1], idx[r, 2] << 4])
+        rows.append(b"\x00" + packed)
+    meta = multimodal.decode_image_bytes(
+        png((3, 2, 4, 3, 0, 0, 0), b"".join(rows), plte=pal.tobytes()))
+    assert (meta["width"], meta["height"], meta["channels"]) == (3, 2, 3)
+    assert abs(meta["mean_value"] - float(pal[idx].mean())) < 1e-9
+
+    # 1-bit gray, 10x2 (stride crosses a byte boundary)
+    bits = np.array([[1, 0, 1, 0, 1, 0, 1, 0, 1, 0],
+                     [0, 0, 0, 0, 1, 1, 1, 1, 0, 1]], dtype=np.uint8)
+    raw1 = b"".join(
+        b"\x00" + np.packbits(bits[r]).tobytes() for r in range(2))
+    meta1 = multimodal.decode_image_bytes(png((10, 2, 1, 0, 0, 0, 0), raw1))
+    assert (meta1["width"], meta1["height"]) == (10, 2)
+    assert abs(meta1["mean_value"] - float(bits.mean())) < 1e-9
+
+    # Adam7 interlaced 8-bit gray 4x4: forward-scatter known pixels into
+    # the seven passes, then expect the decoder to reassemble them
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    passes = []
+    for x0, y0, dx, dy in multimodal._ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        passes.append(b"".join(b"\x00" + sub[r].tobytes() for r in range(sub.shape[0])))
+    meta7 = multimodal.decode_image_bytes(png((4, 4, 8, 0, 0, 0, 1), b"".join(passes)))
+    assert abs(meta7["mean_value"] - float(px.mean())) < 1e-9
 
 
 def test_repetition_stats(spark):
@@ -604,9 +661,40 @@ def test_repetition_stats(spark):
     assert r4_["max_2gram_frac"] == 0.0
 
 
+def test_image_metadata_real_jpeg(spark):
+    """Real baseline JPEG decode (T.81 Huffman + IDCT): round-trips the
+    near-lossless all-ones-quant encoder in gray, RGB 4:4:4, 4:2:0
+    (exercises chroma upsample) and with restart markers."""
+    import numpy as np
+
+    from linkgraph.pipeline import jpeg, multimodal
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)
+    flat = np.repeat(
+        rng.integers(0, 256, size=(20, 28, 1), dtype=np.uint8), 3, axis=2
+    )  # chroma-flat so 4:2:0 subsampling loses nothing
+    rows = [
+        (1, bytearray(jpeg.encode_jpeg(g))),
+        (2, bytearray(jpeg.encode_jpeg(rgb))),
+        (3, bytearray(jpeg.encode_jpeg(flat, subsampling="420"))),
+        (4, bytearray(jpeg.encode_jpeg(rgb, restart_interval=2))),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, image binary")
+    got = {r["id"]: r for r in multimodal.image_metadata(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (21, 13, 1)
+    assert abs(got[1]["mean_value"] - float(g.mean())) < 0.5
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (19, 17, 3)
+    assert abs(got[2]["mean_value"] - float(rgb.mean())) < 1.0
+    assert (got[3]["width"], got[3]["height"]) == (28, 20)
+    assert abs(got[3]["mean_value"] - float(flat.mean())) < 1.0
+    assert abs(got[4]["mean_value"] - got[2]["mean_value"]) < 0.5
+
+
 def test_image_metadata_jpeg_header_dims(spark):
-    """JPEG dimensions come from a real SOF marker walk (T.81 §B.2.2);
-    pixel decode (mean_value) stays stubbed -> null."""
+    """A JPEG without scan data (or progressive SOF2) falls back to the
+    SOF marker walk (T.81 §B.2.2): dimensions real, mean_value null."""
     import struct
 
     from linkgraph.pipeline import multimodal
@@ -645,17 +733,105 @@ def test_image_metadata_jpeg_truncated_null_pads(spark):
     assert r["width"] is None and r["n_bytes"] is None
 
 
-def test_image_metadata_gif_header_dims(spark):
-    import struct
+def test_image_metadata_real_gif(spark):
+    """Real GIF decode (stdlib LZW): round-trips our writer both plain
+    and interlaced, maps indices through the color table, and rejects
+    truncated streams cleanly."""
+    import numpy as np
+    import pytest as _pytest
 
     from linkgraph.pipeline import multimodal
 
-    gif = (b"GIF89a" + struct.pack("<HH", 320, 200) + bytes([0x91, 0, 0])
-           + b"\x00" * 16)
-    df = spark.createDataFrame([(1, gif)], "id bigint, image binary")
-    (r,) = multimodal.image_metadata(df).collect()
-    assert (r["width"], r["height"], r["channels"]) == (320, 200, 1)
-    assert r["mean_value"] is None
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(9, 13), dtype=np.uint8)
+    blob = multimodal.encode_gif(idx, pal)
+    blob_i = multimodal.encode_gif(idx, pal, interlaced=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(blob_i))], "id bigint, image binary"
+    )
+    got = {r["id"]: r for r in multimodal.image_metadata(df).collect()}
+    want = float(pal[idx].mean())
+    for i in (1, 2):
+        assert (got[i]["width"], got[i]["height"], got[i]["channels"]) == (13, 9, 3)
+        assert abs(got[i]["mean_value"] - want) < 1e-9
+
+    with _pytest.raises(ValueError, match="corrupt GIF"):
+        multimodal.decode_image_bytes(blob[: len(blob) // 2])
+
+    # a big frame forces LZW code-width growth past 9 bits in the writer
+    big = rng.integers(0, 8, size=(40, 40), dtype=np.uint8)
+    meta = multimodal.decode_image_bytes(multimodal.encode_gif(big, pal))
+    assert abs(meta["mean_value"] - float(pal[big].mean())) < 1e-9
+
+
+def test_video_frame_sampling_real_avi(spark):
+    """Real AVI frame sampling: RIFF container walk, every-Nth-frame
+    selection, MJPEG frames via the baseline JPEG decoder and raw-DIB
+    frames via BMP row math; corrupt blobs null-pad under on_error."""
+    import numpy as np
+
+    from linkgraph.pipeline import multimodal, video
+
+    rng = np.random.default_rng(21)
+    frames = [rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+              for _ in range(7)]
+    rows = [
+        (1, bytearray(video.encode_avi(frames, codec="mjpeg"))),
+        (2, bytearray(video.encode_avi(frames, codec="dib"))),
+        (3, bytearray(b"RIFF\x00\x00\x00\x00AVI corrupt")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, video binary")
+    out = multimodal.frame_sample(df, every_n=3, on_error="null").collect()
+    by_id: dict = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    # 7 frames, every 3rd -> indices 0, 3, 6
+    for vid in (1, 2):
+        got = sorted(by_id[vid], key=lambda r: r["frame_index"])
+        assert [r["frame_index"] for r in got] == [0, 3, 6]
+        for r in got:
+            assert (r["width"], r["height"], r["channels"]) == (24, 16, 3)
+            want = float(frames[r["frame_index"]].mean())
+            assert abs(r["mean_value"] - want) < 1.0
+    # DIB is bit-exact; MJPEG is near-lossless
+    for r in by_id[2]:
+        assert abs(r["mean_value"] - float(frames[r["frame_index"]].mean())) < 1e-9
+    assert len(by_id[3]) == 1 and by_id[3][0]["frame_index"] is None
+
+
+def test_resize_images_real(spark):
+    """Real nearest-neighbor resize: decode any supported format,
+    resample, re-encode as PNG; identity-size round-trips bit-equal
+    pixels, downscale keeps exact source pixels (nearest semantics)."""
+    import numpy as np
+
+    from linkgraph.pipeline import jpeg, multimodal
+
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(multimodal.encode_png(rgb))),
+        (2, bytearray(jpeg.encode_jpeg(rgb))),
+        (3, bytearray(b"\x89PNG\r\n\x1a\njunk")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, image binary")
+    out = {r["id"]: r for r in
+           multimodal.resize_images(df, 6, 4, on_error="null").collect()}
+    assert (out[1]["width"], out[1]["height"]) == (6, 4)
+    px = multimodal.decode_image_pixels(bytes(out[1]["image"]))
+    assert px.shape == (4, 6, 3)
+    # nearest-neighbor: every output pixel is some exact source pixel
+    ys = np.minimum((np.arange(4) * 8) // 4, 7)
+    xs = np.minimum((np.arange(6) * 12) // 6, 11)
+    assert np.array_equal(px, rgb[ys][:, xs])
+    assert out[3]["image"] is None and out[3]["width"] is None
+
+    # identity size on a PNG source is a lossless pixel round-trip
+    same = {r["id"]: r for r in
+            multimodal.resize_images(df.filter("id = 1"), 12, 8).collect()}
+    assert np.array_equal(
+        multimodal.decode_image_pixels(bytes(same[1]["image"])), rgb)
 
 
 def test_minhash_hot_bucket_anchoring(spark):
