@@ -117,8 +117,12 @@ def main() -> None:
         res.state.count()
         iter_times = [m["wall_s"] for m in res.metrics[1:]]  # skip warmup
         med = statistics.median(iter_times) if iter_times else float("nan")
-        extras["pagerank_edges_per_sec_per_iter"] = round(n_edges / med, 1)
-        extras["pagerank_median_iter_s"] = round(med, 4)
+        # best-of-N applies to this metric too: @timed calls this twice
+        # and a GC/contention outlier in run 2 must not overwrite run 1
+        prev = extras.get("pagerank_median_iter_s")
+        if prev is None or med < prev:
+            extras["pagerank_edges_per_sec_per_iter"] = round(n_edges / med, 1)
+            extras["pagerank_median_iter_s"] = round(med, 4)
         return res
 
     @timed("connected_components")
