@@ -338,44 +338,70 @@ def simhash_pairs(
     combo, so ITS oversized buckets always mean genuine similarity and
     a fixed default is safe there).
     """
+    sims = simhash(docs, id_col, text_col)
+    return hamming_pairs(
+        sims, id_col=id_col, hash_col="simhash", max_hamming=max_hamming,
+        bands=bands, max_bucket_size=max_bucket_size, caller="simhash_pairs",
+    )
+
+
+def hamming_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_bucket_size: int | None = None,
+    caller: str = "hamming_pairs",
+) -> DataFrame:
+    """Generic pigeonhole near-dup join over ANY (id, 64-bit hash)
+    frame: band the hash into chunks, equi-join on chunk keys, verify by
+    exact popcount. Returns (a, b, hamming) with a < b and hamming ≤
+    ``max_hamming``. Backs both text simhash and image dhash — NULL
+    hashes (null text, undecodable images) are dropped up front, so
+    they never form a shared-null bucket."""
     if bands is None:
         bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
     assert max_hamming < bands and 64 % bands == 0, (
         "pigeonhole needs max_hamming < bands and bands | 64"
     )
     width = 64 // bands
-    sims = simhash(docs, id_col, text_col).persist()
-    sims.count()
+    sims = (
+        hashed.select(F.col(id_col).alias("id"), F.col(hash_col).alias("__h__"))
+        .where(F.col("__h__").isNotNull())
+        .persist()
+    )
+    sims.count()  # materialize: the self-join below reads it twice
     chunked = sims.select(
-        F.col(id_col).alias("id"),
-        "simhash",
+        "id",
+        "__h__",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.call_function("shiftright", F.col("simhash"), b * width)
+                    F.call_function("shiftright", F.col("__h__"), b * width)
                     .bitwiseAND(F.lit((1 << width) - 1))
                     .alias("chunk"),
                 ),
             )
         ).alias("bc"),
-    ).select("id", "simhash", "bc.band", "bc.chunk")
+    ).select("id", "__h__", "bc.band", "bc.chunk")
     anchored = None
     if max_bucket_size is not None:
         chunked, anchored = _anchor_hot_buckets(
-            chunked, ["band", "chunk"], max_bucket_size, "simhash_pairs",
-            carry=("simhash",),
+            chunked, ["band", "chunk"], max_bucket_size, caller,
+            carry=("__h__",),
         )
         if anchored is not None:
             anchored = anchored.select(
                 "a", "b",
-                F.col("simhash_a").alias("ha"),
-                F.col("simhash_b").alias("hb"),
+                F.col("__h___a").alias("ha"),
+                F.col("__h___b").alias("hb"),
             )
 
-    left = chunked.select("band", "chunk", F.col("id").alias("a"), F.col("simhash").alias("ha"))
-    right = chunked.select("band", "chunk", F.col("id").alias("b"), F.col("simhash").alias("hb"))
+    left = chunked.select("band", "chunk", F.col("id").alias("a"), F.col("__h__").alias("ha"))
+    right = chunked.select("band", "chunk", F.col("id").alias("b"), F.col("__h__").alias("hb"))
     cand = left.join(right, ["band", "chunk"]).where(
         F.col("a") < F.col("b")
     ).select("a", "b", "ha", "hb")

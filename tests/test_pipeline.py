@@ -800,6 +800,51 @@ def test_video_frame_sampling_real_avi(spark):
     assert len(by_id[3]) == 1 and by_id[3][0]["frame_index"] is None
 
 
+def test_image_dhash_invariance_and_neardup_pairs(spark):
+    """dHash: the same photo through PNG vs near-lossless JPEG hashes
+    within a few bits; unrelated images are far; the pair generator
+    (shared pigeonhole machinery) finds exactly the near-dup pair and
+    null-pads undecodable blobs out of the banding."""
+    import numpy as np
+
+    from linkgraph.pipeline import imagededup, jpeg, multimodal
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # smooth structured image (gradient signs stable under ±2 JPEG noise)
+    yy, xx = np.meshgrid(np.arange(32), np.arange(48), indexing="ij")
+    base = (
+        96 + 80 * np.sin(xx / 7.0) * np.cos(yy / 5.0) + xx / 2.0
+    ).clip(0, 255).astype(np.uint8)
+    photo = np.stack([base, base // 2 + 40, 255 - base], axis=-1)
+    h_png = imagededup.dhash_bytes(multimodal.encode_png(photo))
+    h_jpg = imagededup.dhash_bytes(jpeg.encode_jpeg(photo))
+    assert hamming(h_png, h_jpg) <= 4
+    # resize invariance: dhash samples the same relative grid
+    half = photo[::2, ::2]
+    assert hamming(h_png, imagededup.dhash_bytes(multimodal.encode_png(half))) <= 8
+
+    rng = np.random.default_rng(41)
+    other = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    h_other = imagededup.dhash_bytes(multimodal.encode_png(other))
+    assert hamming(h_png, h_other) > 12
+
+    rows = [
+        (1, bytearray(multimodal.encode_png(photo))),
+        (2, bytearray(jpeg.encode_jpeg(photo))),
+        (3, bytearray(multimodal.encode_png(other))),
+        (4, bytearray(b"\x89PNG\r\n\x1a\nbroken")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, image binary")
+    pairs = imagededup.image_neardup_pairs(df, max_hamming=6).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+    # undecodable blob got a NULL hash, not a crash and not a bucket
+    hashes = {r["id"]: r["dhash"] for r in
+              imagededup.image_dhash(df, on_error="null").collect()}
+    assert hashes[4] is None and hashes[1] is not None
+
+
 def test_resize_images_real(spark):
     """Real nearest-neighbor resize: decode any supported format,
     resample, re-encode as PNG; identity-size round-trips bit-equal
