@@ -345,6 +345,60 @@ def test_audio_stats_real_wav(spark):
     assert got[1]["peak"] <= 0.5 + 0.01 and got[2]["peak"] <= 0.25 + 0.01
 
 
+def test_audio_fingerprint_and_neardup_pairs(spark):
+    """Spectral-delta fingerprint: the same clip as 16-bit vs 8-bit PCM
+    or volume-scaled hashes within a few bits (frame-to-frame band
+    comparisons are gain-invariant); different material is far; the
+    pair generator reuses the pigeonhole machinery and null-pads
+    undecodable blobs."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from linkgraph.pipeline import audiofp
+
+    def make_wav(sig, width=2, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            if width == 2:
+                w.writeframes((sig * 32767).astype("<i2").tobytes())
+            else:
+                w.writeframes(
+                    ((sig * 127) + 128).clip(0, 255).astype(np.uint8).tobytes()
+                )
+        return buf.getvalue()
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    t = np.arange(16000) / 8000.0
+    sig = (0.6 * np.sin(2 * np.pi * (200 + 150 * t) * t)
+           * (0.5 + 0.5 * np.sin(2 * np.pi * 1.3 * t)))
+    other = (0.5 * np.sin(2 * np.pi * (700 - 300 * t) * t)
+             * (0.5 + 0.5 * np.cos(2 * np.pi * 0.7 * t)))
+    h16 = audiofp.audio_fingerprint_bytes(make_wav(sig))
+    assert ham(h16, audiofp.audio_fingerprint_bytes(make_wav(sig, width=1))) <= 4
+    assert ham(h16, audiofp.audio_fingerprint_bytes(make_wav(sig * 0.3))) <= 4
+    assert ham(h16, audiofp.audio_fingerprint_bytes(make_wav(other))) > 12
+
+    rows = [
+        (1, bytearray(make_wav(sig))),
+        (2, bytearray(make_wav(sig, width=1))),
+        (3, bytearray(make_wav(other))),
+        (4, bytearray(b"RIFFnot-a-wav")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, audio binary")
+    pairs = audiofp.audio_neardup_pairs(df, max_hamming=6).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+    fps = {r["id"]: r["afp"] for r in
+           audiofp.audio_fingerprint(df, on_error="null").collect()}
+    assert fps[4] is None and fps[1] is not None
+
+
 def test_image_metadata_real_bmp(spark):
     """Uncompressed BMP is decoded for real (pure header math)."""
     import struct
