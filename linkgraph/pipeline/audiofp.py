@@ -2,7 +2,8 @@
 columns.
 
 Classic spectral-delta fingerprint (the public Haitsma-Kalker /
-chromaprint family shape): decode PCM → mono → split into ``n_frames``
+chromaprint family shape): decode PCM (WAV or AIFF — shared
+``multimodal.pcm_samples`` kernel) → mono → split into ``n_frames``
 equal windows → per-window FFT power split into ``n_bands`` bands →
 bit(f, b) = 1 iff band energy rises from frame f to f+1. Frame-to-frame
 energy COMPARISONS are invariant to global gain and robust to
@@ -42,18 +43,9 @@ def audio_fingerprint_bytes(
     nbits = (n_frames - 1) * n_bands
     if nbits > 63:
         raise ValueError("fingerprint would not fit a signed 64-bit column")
-    import io
-    import wave
+    from linkgraph.pipeline.multimodal import pcm_samples
 
-    with wave.open(io.BytesIO(blob)) as w:
-        nch, width, nframes = w.getnchannels(), w.getsampwidth(), w.getnframes()
-        raw = w.readframes(nframes)
-    if width == 2:
-        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    elif width == 1:
-        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-    else:
-        raise NotImplementedError(f"{width * 8}-bit PCM not supported")
+    samples, nch, _rate = pcm_samples(blob)  # WAV or AIFF
     if nch > 1:
         samples = samples[: (len(samples) // nch) * nch].reshape(-1, nch).mean(axis=1)
     if samples.size < n_frames:  # too short to frame: zero-pad

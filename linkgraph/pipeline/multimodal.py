@@ -680,12 +680,68 @@ AUDIO_STATS_SCHEMA = (
 )
 
 
-def decode_wav_bytes(blob: bytes) -> dict:
-    """Parse a real RIFF/WAV blob (stdlib ``wave`` + numpy — present in
-    any Python, so unlike the image path this is NOT a stub) and compute
-    duration/RMS/peak over the PCM samples."""
+def _ieee_extended(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF COMM sample rate)."""
+    sign = -1.0 if b[0] & 0x80 else 1.0
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def pcm_samples(blob: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a WAV (RIFF, stdlib ``wave``) or AIFF (FORM/AIFF, manual
+    big-endian chunk walk) blob to (interleaved float samples in
+    [-1, 1], n_channels, sample_rate). The shared kernel behind
+    audio_stats and the spectral fingerprint."""
     import io
     import wave
+
+    if blob.startswith(b"FORM") and len(blob) >= 12 and blob[8:12] in (b"AIFF", b"AIFC"):
+        # AIFF: big-endian chunks, even-padded; COMM carries layout
+        # (rate as an 80-bit extended float), SSND the signed PCM data
+        pos = 12
+        comm = ssnd = None
+        compression = b"NONE"
+        while pos + 8 <= len(blob):
+            tag = blob[pos : pos + 4]
+            (size,) = struct.unpack_from(">I", blob, pos + 4)
+            data = blob[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)
+            if tag == b"COMM":
+                if size < 18:
+                    raise ValueError("corrupt AIFF: short COMM")
+                nch, nframes, bits = struct.unpack_from(">HIH", data, 0)
+                rate = int(round(_ieee_extended(data[8:18])))
+                if size >= 22:
+                    compression = data[18:22]
+                comm = (nch, nframes, bits, rate)
+            elif tag == b"SSND":
+                if size < 8:
+                    raise ValueError("corrupt AIFF: short SSND")
+                (offset,) = struct.unpack_from(">I", data, 0)
+                ssnd = data[8 + offset :]
+        if comm is None or ssnd is None:
+            raise ValueError("corrupt AIFF: missing COMM/SSND chunk")
+        if compression not in (b"NONE", b"sowt"):
+            raise NotImplementedError(
+                f"AIFC compression {compression!r} needs an external codec"
+            )
+        nch, nframes, bits, rate = comm
+        width = (bits + 7) // 8
+        order = "<" if compression == b"sowt" else ">"
+        n = min(nframes * nch, len(ssnd) // width)
+        if width == 2:
+            samples = (
+                np.frombuffer(ssnd, dtype=f"{order}i2", count=n).astype(np.float64)
+                / 32768.0
+            )
+        elif width == 1:  # AIFF 8-bit PCM is SIGNED (unlike WAV)
+            samples = np.frombuffer(ssnd, dtype=np.int8, count=n).astype(np.float64) / 128.0
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM not supported")
+        return samples, nch, rate
 
     with wave.open(io.BytesIO(blob)) as w:
         rate, nch, nframes = w.getframerate(), w.getnchannels(), w.getnframes()
@@ -697,6 +753,15 @@ def decode_wav_bytes(blob: bytes) -> dict:
         samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     else:
         raise NotImplementedError(f"{width * 8}-bit PCM not supported")
+    return samples, nch, rate
+
+
+def decode_wav_bytes(blob: bytes) -> dict:
+    """Parse a real WAV or AIFF blob (stdlib + numpy — present in any
+    Python, so unlike the image path this is NOT a stub) and compute
+    duration/RMS/peak over the PCM samples."""
+    samples, nch, rate = pcm_samples(blob)
+    nframes = samples.size // max(nch, 1)
     rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
     peak = float(np.max(np.abs(samples))) if samples.size else 0.0
     return {

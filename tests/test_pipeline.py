@@ -345,6 +345,64 @@ def test_audio_stats_real_wav(spark):
     assert got[1]["peak"] <= 0.5 + 0.01 and got[2]["peak"] <= 0.25 + 0.01
 
 
+def test_audio_aiff_decode_cross_container():
+    """AIFF (big-endian PCM, 80-bit-float sample rate) decodes through
+    the same kernel as WAV: identical stats for the same signal, and a
+    0-bit fingerprint distance across containers."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from linkgraph.pipeline import audiofp, multimodal
+
+    def make_wav(sig, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes((sig * 32767).astype("<i2").tobytes())
+        return buf.getvalue()
+
+    def make_aiff(sig, rate=8000):
+        pcm = (sig * 32767).astype(">i2").tobytes()
+        exp, mant = 16383 + 63, rate
+        while mant < (1 << 63):
+            mant <<= 1
+            exp -= 1
+        ext = bytes([(exp >> 8) & 0x7F, exp & 0xFF]) + mant.to_bytes(8, "big")
+        comm = struct.pack(">HIH", 1, sig.size, 16) + ext
+        ssnd = struct.pack(">II", 0, 0) + pcm
+
+        def chunk(tag, d):
+            return tag + struct.pack(">I", len(d)) + d + (b"\x00" if len(d) & 1 else b"")
+
+        body = b"AIFF" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+        return b"FORM" + struct.pack(">I", len(body)) + body
+
+    t = np.arange(16000) / 8000.0
+    sig = (0.6 * np.sin(2 * np.pi * (200 + 150 * t) * t)
+           * (0.5 + 0.5 * np.sin(2 * np.pi * 1.3 * t)))
+    wv, af = make_wav(sig), make_aiff(sig)
+    sw, sa = multimodal.decode_wav_bytes(wv), multimodal.decode_wav_bytes(af)
+    assert (sa["sample_rate"], sa["n_channels"], sa["n_frames"]) == (8000, 1, 16000)
+    assert abs(sw["rms"] - sa["rms"]) < 1e-9 and abs(sw["peak"] - sa["peak"]) < 1e-9
+    hw = audiofp.audio_fingerprint_bytes(wv)
+    ha = audiofp.audio_fingerprint_bytes(af)
+    assert bin(hw ^ ha).count("1") == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="compression"):
+        comm22 = struct.pack(">HIH", 1, 4, 16) + b"\x40\x0c" + b"\x00" * 8 + b"ulaw"
+        body = (b"AIFC"
+                + b"COMM" + struct.pack(">I", 22) + comm22
+                + b"SSND" + struct.pack(">I", 8) + struct.pack(">II", 0, 0))
+        multimodal.pcm_samples(b"FORM" + struct.pack(">I", len(body)) + body)
+
+
 def test_audio_fingerprint_and_neardup_pairs(spark):
     """Spectral-delta fingerprint: the same clip as 16-bit vs 8-bit PCM
     or volume-scaled hashes within a few bits (frame-to-frame band
