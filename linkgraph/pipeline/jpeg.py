@@ -197,7 +197,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", data, 6 + 3 * c)
-                comps.append((cid, hv >> 4, hv & 15, tq))
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError("corrupt JPEG: sampling factor out of range")
+                comps.append((cid, hs, vs, tq))
             frame = (fh, fw, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -210,6 +213,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             if not data or len(data) < 1 + 2 * data[0]:
                 raise ValueError("corrupt JPEG: truncated SOS header")
             ns = data[0]
+            if ns < len(frame[2]):
+                # sequential multi-scan (one scan per component) is
+                # legal but rare; decoding only scan 1 would silently
+                # return wrong pixels — degrade to header dims instead
+                raise NotImplementedError(
+                    "non-interleaved multi-scan sequential JPEG not decoded"
+                )
             scan_comps = []
             for c in range(ns):
                 cs, tt = data[1 + 2 * c], data[2 + 2 * c]

@@ -197,7 +197,7 @@ def encode_avi(
         payloads = [jpeg.encode_jpeg(f) for f in frames]
         tag = b"00dc"
     elif codec == "dib":
-        handler, compression = b"DIB ", struct.pack("<I", 0)
+        handler = b"DIB "
         stride = (w * 3 + 3) & ~3
         payloads = []
         for f in frames:
