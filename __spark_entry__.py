@@ -1084,6 +1084,15 @@ def _d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b")
 
 
+def _d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pigeonhole hamming join (dedup.hamming_pairs, shared by text
+    simhash / image dhash / audio fingerprints) — oracle-checked: band
+    chunks, equi-join, popcount verify are all replicated in DuckDB
+    (arithmetic >> then mask gives identical chunks in both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
 def _c2_concept_rule_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The concept-rule mark language end-to-end (concept_rules.py —
     the shipped `concept.rule` format): a belongTo rule classifies
@@ -1204,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "d_near_dedup": _d_near_dedup,
         "c2_concept_rule_file": _c2_concept_rule_file,
+        "d_simhash_pairs": _d_simhash_pairs,
         "d_line_dedup": _d_line_dedup,
         "d_minhash_pairs": _d_minhash_pairs,
         "d_simhash": _d_simhash,
@@ -1251,8 +1261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_quality": _d_quality,
         "d_chunks": _d_chunks,
         "q1_agg": _q1_agg,
-        "q2_join_topk": _q2_join_topk,
         # ---- driver recording window (50) typically ends here ----
+        "q2_join_topk": _q2_join_topk,
         "q3_topk_per_group": _q3_topk_per_group,
         "q4_optional": _q4_optional,
         "q5_anti": _q5_anti,
@@ -1731,6 +1741,31 @@ cnt AS (SELECT doc_id, {cnts} FROM hx GROUP BY doc_id),
 hashed AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM cnt)
 SELECT d.doc_id, hashed.simhash
 FROM documents d LEFT JOIN hashed ON d.doc_id = hashed.doc_id"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    """DuckDB replica of dedup.simhash_pairs / hamming_pairs: identical
+    simhash signatures (portable affine family), band-chunk keys
+    (arithmetic shift + mask — same masked chunks in both engines),
+    candidate equi-join, popcount verify."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return f"""
+WITH sims AS ({_simhash_sql()}),
+chunks AS (
+  SELECT doc_id AS id, simhash, b.band AS band,
+         ((simhash >> (b.band * {width})) & {mask}) AS chunk
+  FROM sims, (SELECT unnest(range({bands})) AS band) b
+  WHERE simhash IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b, l.simhash AS ha, r.simhash AS hb
+  FROM chunks l JOIN chunks r
+    ON l.band = r.band AND l.chunk = r.chunk AND l.id < r.id
+)
+SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
 
 
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:
@@ -2272,6 +2307,7 @@ FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
 WHERE CAST(o.o_totalprice AS DOUBLE) > 300000.0
 ORDER BY custkey""",
         "d_minhash_pairs": _minhash_pairs_sql(),
+        "d_simhash_pairs": _simhash_pairs_sql(),
         "d_near_dedup": _near_dedup_sql(),
         "d_simhash": _simhash_sql(),
         "e_ann_topk": _ANN_SQL,
