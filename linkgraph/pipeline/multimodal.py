@@ -600,20 +600,47 @@ def image_metadata(
     ).mapInPandas(_batches, IMAGE_META_SCHEMA)
 
 
+def resize_pixels(px: np.ndarray, width: int, height: int, method: str = "nearest") -> np.ndarray:
+    """Resample (h, w, c) uint8 pixels to (height, width, c) — nearest
+    (exact source pixels, deterministic grid) or bilinear (edge-clamped
+    separable lerp, the standard ML-preprocessing kernel). Pure numpy."""
+    h0, w0 = px.shape[:2]
+    if method == "nearest":
+        ys = np.minimum((np.arange(height) * h0) // height, h0 - 1)
+        xs = np.minimum((np.arange(width) * w0) // width, w0 - 1)
+        return px[ys][:, xs]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    # align-corners=False convention (pixel centers at i + 0.5)
+    fy = np.clip((np.arange(height) + 0.5) * h0 / height - 0.5, 0, h0 - 1)
+    fx = np.clip((np.arange(width) + 0.5) * w0 / width - 0.5, 0, w0 - 1)
+    y0 = np.floor(fy).astype(int)
+    x0 = np.floor(fx).astype(int)
+    y1 = np.minimum(y0 + 1, h0 - 1)
+    x1 = np.minimum(x0 + 1, w0 - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    return np.clip(np.round(top * (1 - wy) + bot * wy), 0, 255).astype(np.uint8)
+
+
 def resize_images(
     df: DataFrame,
     width: int,
     height: int,
     id_col: str = "id",
     blob_col: str = "image",
+    method: str = "nearest",
     on_error: str = "raise",
 ) -> DataFrame:
     """REAL resize kernel: decode (any natively-supported format) →
-    nearest-neighbor resample → re-encode as filter-0 PNG. Nearest-
-    neighbor is deterministic and codec-free; 16-bit sources are
-    narrowed to 8 bits (high byte) for the PNG writer. Output schema:
-    (id, image binary, width int, height int) — undecodable blobs
-    null-pad when ``on_error="null"``."""
+    resample (nearest or bilinear) → re-encode as filter-0 PNG.
+    Deterministic and codec-free; 16-bit sources are narrowed to 8 bits
+    (high byte) for the PNG writer. Output schema: (id, image binary,
+    width int, height int) — undecodable blobs null-pad when
+    ``on_error="null"``."""
     if width <= 0 or height <= 0:
         raise ValueError("resize target must be positive")
 
@@ -621,10 +648,7 @@ def resize_images(
         px = decode_image_pixels(bytes(blob))
         if px.dtype != np.uint8:
             px = (px >> 8).astype(np.uint8)
-        h0, w0 = px.shape[:2]
-        ys = np.minimum((np.arange(height) * h0) // height, h0 - 1)
-        xs = np.minimum((np.arange(width) * w0) // width, w0 - 1)
-        out = px[ys][:, xs]
+        out = resize_pixels(px, width, height, method)
         if out.shape[2] == 1:
             out = out[:, :, 0]
         return encode_png(out)

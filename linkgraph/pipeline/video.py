@@ -175,6 +175,54 @@ def video_frame_stats(
     ).mapInPandas(_batches, VIDEO_FRAME_SCHEMA)
 
 
+def extract_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    id_col: str = "id",
+    blob_col: str = "video",
+    resize_to: tuple[int, int] | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Sample every Nth frame of each AVI blob and emit the frames as
+    standalone PNG image blobs — the video→image leg of a training-data
+    pipeline (the output column feeds image_metadata / resize_images /
+    image_dhash directly). Optional ``resize_to=(w, h)`` resamples
+    (bilinear) inside the same task, so full-size frames never hit the
+    shuffle. Schema: (id, frame_index, image binary)."""
+    from linkgraph.pipeline.multimodal import encode_png, resize_pixels
+
+    def _rows(vid, blob: bytes) -> list[dict]:
+        out = []
+        for idx, px in decode_avi_frames(bytes(blob), every_n):
+            if px.ndim == 2:
+                px = px.reshape(*px.shape, 1)
+            if resize_to is not None:
+                px = resize_pixels(px, resize_to[0], resize_to[1], "bilinear")
+            out.append({
+                "id": vid,
+                "frame_index": idx,
+                "image": encode_png(px[:, :, 0] if px.shape[2] == 1 else px),
+            })
+        return out
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[dict] = []
+            for vid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if on_error == "null":
+                    try:
+                        rows.extend(_rows(vid, blob))
+                    except Exception:
+                        rows.append({"id": vid, "frame_index": None, "image": None})
+                else:
+                    rows.extend(_rows(vid, blob))
+            yield pd.DataFrame(rows, columns=["id", "frame_index", "image"])
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(blob_col).alias(blob_col)
+    ).mapInPandas(_batches, "id bigint, frame_index int, image binary")
+
+
 def encode_avi(
     frames: list[np.ndarray], codec: str = "mjpeg", fps: int = 25
 ) -> bytes:

@@ -990,6 +990,45 @@ def test_resize_images_real(spark):
     assert np.array_equal(
         multimodal.decode_image_pixels(bytes(same[1]["image"])), rgb)
 
+    # bilinear: identity size is also lossless (weights collapse to the
+    # source grid); 2x upscale of a constant image stays constant, and a
+    # step edge gets an intermediate value (actual interpolation)
+    assert np.array_equal(multimodal.resize_pixels(rgb, 12, 8, "bilinear"), rgb)
+    const = np.full((4, 4, 3), 77, dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.resize_pixels(const, 8, 8, "bilinear"), np.full((8, 8, 3), 77))
+    step = np.zeros((1, 2, 1), dtype=np.uint8)
+    step[0, 1, 0] = 200
+    mid = multimodal.resize_pixels(step, 4, 1, "bilinear")[0, :, 0]
+    assert mid[0] == 0 and mid[3] == 200 and 0 < mid[1] < 200
+
+
+def test_extract_frames_to_image_blobs(spark):
+    """Video→image leg: sampled AVI frames come out as standalone PNG
+    blobs that feed straight back into the image operators; optional
+    in-task bilinear resize."""
+    import numpy as np
+
+    from linkgraph.pipeline import multimodal, video
+
+    rng = np.random.default_rng(51)
+    frames = [rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+              for _ in range(5)]
+    df = spark.createDataFrame(
+        [(1, bytearray(video.encode_avi(frames, codec="dib")))],
+        "id bigint, video binary",
+    )
+    out = sorted(video.extract_frames(df, every_n=2).collect(),
+                 key=lambda r: r["frame_index"])
+    assert [r["frame_index"] for r in out] == [0, 2, 4]
+    for r in out:
+        px = multimodal.decode_image_pixels(bytes(r["image"]))
+        assert np.array_equal(px, frames[r["frame_index"]])  # DIB is lossless
+
+    small = video.extract_frames(df, every_n=2, resize_to=(12, 8)).collect()
+    px = multimodal.decode_image_pixels(bytes(small[0]["image"]))
+    assert px.shape == (8, 12, 3)
+
 
 def test_minhash_hot_bucket_anchoring(spark):
     """A template-heavy corpus (many near-identical docs) must not
