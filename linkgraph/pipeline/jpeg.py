@@ -1,20 +1,25 @@
 """Baseline JPEG codec in stdlib + numpy (public spec: ITU-T T.81 /
 ISO 10918-1).
 
-Decoder: baseline + extended-sequential Huffman JPEG (SOF0/SOF1) —
-marker walk, DQT/DHT/DRI/SOS parsing, entropy decode with byte
-unstuffing and restart markers, dequantize, 8x8 IDCT (orthonormal
-DCT-III, T.81 A.3.3), per-component plane assembly with (h,v) sampling
-factors, nearest-neighbor chroma upsample, YCbCr->RGB (JFIF full-range
-matrix). Progressive (SOF2) and arithmetic-coded streams raise
+Decoder: baseline, extended-sequential, and progressive Huffman JPEG
+(SOF0/SOF1/SOF2) — marker walk, DQT/DHT/DRI/SOS parsing, entropy decode
+with byte unstuffing and restart markers, progressive
+spectral-selection + successive-approximation scan accumulation
+(T.81 G.2 / F.2.2.4), dequantize, 8x8 IDCT (orthonormal DCT-III,
+T.81 A.3.3), per-component plane assembly with (h,v) sampling factors,
+nearest-neighbor chroma upsample, YCbCr->RGB (JFIF full-range matrix).
+Arithmetic-coded / lossless / hierarchical streams raise
 NotImplementedError — callers fall back to the SOF header walk for
 dimensions.
 
-Encoder: minimal but spec-conformant baseline writer for fixtures and
-round-trip tests — 4:4:4 or 4:2:0, all-ones quantization (max coef
-error 0.5, so round-trips are near-lossless), fixed-length canonical
-Huffman tables written to DHT (valid prefix codes, just not optimal),
-optional restart intervals to exercise the decoder's RST path.
+Encoder: minimal but spec-conformant baseline + progressive writers for
+fixtures and round-trip tests — 4:4:4 or 4:2:0, all-ones quantization
+(max coef error 0.5, so round-trips are near-lossless), fixed-length
+canonical Huffman tables written to DHT (valid prefix codes, just not
+optimal), optional restart intervals to exercise the decoder's RST
+path, and for progressive: spectral-selection bands plus optional
+successive-approximation DC/AC refinement scans (the jcphuff-style
+EOB-run + buffered-correction-bit algorithm, T.81 G.1.2).
 
 This backs linkgraph.pipeline.multimodal.decode_image_bytes; the same
 honest-stub rule as the rest of the multimodal surface applies: what we
@@ -129,10 +134,258 @@ def _split_scan(blob: bytes, pos: int) -> tuple[list[bytes], int]:
     return segs, pos
 
 
+class _ProgState:
+    """Progressive-JPEG coefficient accumulator (T.81 G.2 / F.2.2.4):
+    every scan deposits spectral-selection / successive-approximation
+    bits into per-component DCT-coefficient buffers; ``reconstruct``
+    runs the shared dequant + IDCT + upsample + color transform once all
+    scans are in. DC scans may be interleaved or single-component; AC
+    scans are single-component by spec (over the component's OWN block
+    grid, not the MCU-padded one)."""
+
+    def __init__(self, frame):
+        fh, fw, comps = frame
+        if fh == 0 or fw == 0:
+            raise ValueError("corrupt JPEG: zero dimensions")
+        self.frame = frame
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = (fw + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcus_y = (fh + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.geom: dict[int, tuple] = {}
+        self.coefs: dict[int, np.ndarray] = {}
+        for cid, hs, vs, tq in comps:
+            comp_w = (fw * hs + self.hmax - 1) // self.hmax
+            comp_h = (fh * vs + self.vmax - 1) // self.vmax
+            own_bx = (comp_w + 7) // 8
+            own_by = (comp_h + 7) // 8
+            full_bx = self.mcus_x * hs
+            full_by = self.mcus_y * vs
+            self.geom[cid] = (hs, vs, tq, comp_w, comp_h, own_bx, own_by)
+            self.coefs[cid] = np.zeros((full_by, full_bx, 64), dtype=np.int64)
+        self.preds: dict[int, int] = {}
+        self.any_scan = False
+
+    def decode_scan(self, scan_comps, ss, se, ah, al, dc_tabs, ac_tabs, ri, segs):
+        self.any_scan = True
+        if ss == 0 and se != 0:
+            raise ValueError("corrupt JPEG: DC scan with Se != 0")
+        if ss > se or se > 63:
+            raise ValueError("corrupt JPEG: bad spectral selection")
+        if ss == 0:
+            self._decode_dc_scan(scan_comps, ah, al, dc_tabs, ri, segs)
+        else:
+            if len(scan_comps) != 1:
+                raise ValueError("corrupt JPEG: interleaved AC scan")
+            cs, _td, ta = scan_comps[0]
+            if ah == 0 and ta not in ac_tabs:
+                raise ValueError("corrupt JPEG: missing AC Huffman table")
+            self._decode_ac_scan(cs, ss, se, ah, al, ac_tabs.get(ta), ri, segs)
+
+    # -- DC scans (first pass Huffman-coded diffs, refinement raw bits) --
+
+    def _dc_units(self, scan_comps):
+        """Yield (cid, block_y, block_x) in scan order: MCU-interleaved
+        when the scan has several components, the component's own grid
+        row-major when it has one (T.81 A.2)."""
+        if len(scan_comps) > 1:
+            for mcu in range(self.mcus_x * self.mcus_y):
+                my, mx = divmod(mcu, self.mcus_x)
+                for cs, _td, _ta in scan_comps:
+                    hs, vs = self.geom[cs][0], self.geom[cs][1]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield cs, my * vs + by, mx * hs + bx
+        else:
+            cs = scan_comps[0][0]
+            _hs, _vs, _tq, _cw, _ch, own_bx, own_by = self.geom[cs]
+            for b in range(own_bx * own_by):
+                yield cs, b // own_bx, b % own_bx
+
+    def _dc_restart_units(self, scan_comps):
+        """Restart-interval unit count per Ri: MCUs when interleaved,
+        blocks when single-component."""
+        if len(scan_comps) > 1:
+            per_mcu = sum(
+                self.geom[cs][0] * self.geom[cs][1] for cs, _t, _a in scan_comps
+            )
+            return per_mcu
+        return 1
+
+    def _decode_dc_scan(self, scan_comps, ah, al, dc_tabs, ri, segs):
+        for cs, td, _ta in scan_comps:
+            if cs not in self.geom:
+                raise ValueError("corrupt JPEG: scan references unknown component")
+            if ah == 0:
+                if td not in dc_tabs:
+                    raise ValueError("corrupt JPEG: missing DC Huffman table")
+                self.preds[cs] = 0
+        tabs = {cs: dc_tabs.get(td) for cs, td, _ta in scan_comps}
+        per_unit = self._dc_restart_units(scan_comps)
+        reader = _BitReader(segs[0])
+        seg_i = 0
+        unit = 0
+        for cs, by, bx in self._dc_units(scan_comps):
+            if ri and unit and unit % (ri * per_unit) == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("corrupt JPEG: missing restart segment")
+                reader = _BitReader(segs[seg_i])
+                for c in self.preds:
+                    self.preds[c] = 0
+            coef = self.coefs[cs]
+            if ah == 0:
+                s = reader.decode_huff(tabs[cs])
+                if s > 11:
+                    raise ValueError("corrupt JPEG: bad DC magnitude")
+                self.preds[cs] += _extend(reader.read(s), s)
+                coef[by, bx, 0] = self.preds[cs] << al
+            else:  # refinement: one raw bit per block
+                if reader.read_bit():
+                    coef[by, bx, 0] |= 1 << al
+            unit += 1
+
+    # -- AC scans (EOB-run coded; refinement per F.2.2.4) --
+
+    def _decode_ac_scan(self, cs, ss, se, ah, al, ac_tab, ri, segs):
+        if cs not in self.geom:
+            raise ValueError("corrupt JPEG: scan references unknown component")
+        _hs, _vs, _tq, _cw, _ch, own_bx, own_by = self.geom[cs]
+        coef = self.coefs[cs]
+        reader = _BitReader(segs[0])
+        seg_i = 0
+        eobrun = 0
+        for b in range(own_bx * own_by):
+            if ri and b and b % ri == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("corrupt JPEG: missing restart segment")
+                reader = _BitReader(segs[seg_i])
+                eobrun = 0
+            by, bx = b // own_bx, b % own_bx
+            block = coef[by, bx]
+            if ah == 0:
+                eobrun = self._ac_first(reader, block, ss, se, al, ac_tab, eobrun)
+            else:
+                eobrun = self._ac_refine(reader, block, ss, se, al, ac_tab, eobrun)
+
+    @staticmethod
+    def _ac_first(reader, block, ss, se, al, ac_tab, eobrun):
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = reader.decode_huff(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("corrupt JPEG: AC band overflow")
+            block[ZIGZAG[k]] = _extend(reader.read(s), s) << al
+            k += 1
+        return eobrun
+
+    @staticmethod
+    def _ac_refine(reader, block, ss, se, al, ac_tab, eobrun):
+        """Successive-approximation AC refinement (T.81 G.1.2.3 /
+        F.2.2.4): newly-significant coefficients arrive as ±1<<Al;
+        already-significant coefficients crossed on the way (and the
+        whole band tail during an EOB run) each consume one correction
+        bit."""
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode_huff(ac_tab)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        # unlike the first-scan convention, the run
+                        # INCLUDES the current block: the tail walk below
+                        # must still consume its correction bits
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("corrupt JPEG: bad refinement magnitude")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    z = ZIGZAG[k]
+                    if block[z] != 0:
+                        if reader.read_bit() and (block[z] & p1) == 0:
+                            block[z] += p1 if block[z] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    block[ZIGZAG[k]] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                z = ZIGZAG[k]
+                if block[z] != 0:
+                    if reader.read_bit() and (block[z] & p1) == 0:
+                        block[z] += p1 if block[z] > 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    # -- final reconstruction --
+
+    def reconstruct(self, qt) -> np.ndarray:
+        fh, fw, comps = self.frame
+        full = []
+        for cid, hs, vs, tq in comps:
+            if tq not in qt:
+                raise ValueError("corrupt JPEG: missing quant table")
+            q_nat = np.empty(64, dtype=np.float64)
+            q_nat[ZIGZAG] = qt[tq]
+            _hs, _vs, _tq, comp_w, comp_h, own_bx, own_by = self.geom[cid]
+            blocks = (
+                self.coefs[cid][:own_by, :own_bx].reshape(-1, 64).astype(np.float64)
+                * q_nat
+            ).reshape(-1, 8, 8)
+            px = np.matmul(np.matmul(_T.T, blocks), _T) + 128.0
+            plane = (
+                px.reshape(own_by, own_bx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(own_by * 8, own_bx * 8)[:comp_h, :comp_w]
+            )
+            if hs != self.hmax or vs != self.vmax:
+                plane = np.repeat(
+                    np.repeat(plane, self.vmax // vs, axis=0), self.hmax // hs, axis=1
+                )
+            full.append(plane[:fh, :fw])
+        if len(full) == 1:
+            return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        if len(full) == 3:
+            y, cb, cr = full
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, g, b], axis=-1)
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        raise NotImplementedError(f"{len(full)}-component JPEG not supported")
+
+
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to uint8 pixels: (h, w) gray or (h, w, 3)
-    RGB. Raises NotImplementedError for progressive/arithmetic streams
-    and ValueError for corrupt ones."""
+    """Decode a baseline, extended-sequential, or progressive Huffman
+    JPEG to uint8 pixels: (h, w) gray or (h, w, 3) RGB. Raises
+    NotImplementedError for arithmetic-coded/lossless/hierarchical
+    streams and ValueError for corrupt ones."""
     if not blob.startswith(b"\xff\xd8"):
         raise ValueError("corrupt JPEG: missing SOI")
     qt: dict[int, np.ndarray] = {}
@@ -140,6 +393,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     ac_tabs: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (h, w, [(cid, hs, vs, tq), ...])
+    progressive = False
+    prog = None  # _ProgState once the first progressive scan arrives
     i = 2
     n = len(blob)
     while i + 4 <= n:
@@ -190,7 +445,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             if len(data) < 2:
                 raise ValueError("corrupt JPEG: truncated DRI")
             (restart_interval,) = struct.unpack_from(">H", data, 0)
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             _prec, fh, fw, nc = struct.unpack_from(">BHHB", data, 0)
             if len(data) < 6 + 3 * nc:
                 raise ValueError("corrupt JPEG: truncated SOF component list")
@@ -202,17 +457,34 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     raise ValueError("corrupt JPEG: sampling factor out of range")
                 comps.append((cid, hs, vs, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline/extended-sequential Huffman JPEG is decoded "
-                f"(got SOF marker 0x{marker:02x})"
+                "only baseline/extended-sequential/progressive Huffman JPEG "
+                f"is decoded (got SOF marker 0x{marker:02x})"
             )
-        elif marker == 0xDA:  # SOS — baseline has exactly one scan
+        elif marker == 0xDA:
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
-            if not data or len(data) < 1 + 2 * data[0]:
+            if not data or len(data) < 1 + 2 * data[0] + 3:
                 raise ValueError("corrupt JPEG: truncated SOS header")
             ns = data[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tt = data[1 + 2 * c], data[2 + 2 * c]
+                scan_comps.append((cs, tt >> 4, tt & 15))
+            ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            segs, after = _split_scan(blob, i)
+            if progressive:
+                # accumulate this scan into the coefficient buffers and
+                # keep walking markers — progressive has many scans
+                if prog is None:
+                    prog = _ProgState(frame)
+                prog.decode_scan(scan_comps, ss, se, ahal >> 4, ahal & 15,
+                                 dc_tabs, ac_tabs, restart_interval, segs)
+                i = after
+                continue
+            # baseline: exactly one scan covering every component
             if ns < len(frame[2]):
                 # sequential multi-scan (one scan per component) is
                 # legal but rare; decoding only scan 1 would silently
@@ -220,13 +492,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     "non-interleaved multi-scan sequential JPEG not decoded"
                 )
-            scan_comps = []
-            for c in range(ns):
-                cs, tt = data[1 + 2 * c], data[2 + 2 * c]
-                scan_comps.append((cs, tt >> 4, tt & 15))
-            segs, _ = _split_scan(blob, i)
             return _decode_scan(frame, scan_comps, qt, dc_tabs, ac_tabs,
                                 restart_interval, segs)
+    if prog is not None and prog.any_scan:
+        return prog.reconstruct(qt)
     raise ValueError("corrupt JPEG: no SOS marker")
 
 
@@ -325,12 +594,14 @@ def _decode_scan(frame, scan_comps, qt, dc_tabs, ac_tabs, ri, segs) -> np.ndarra
 # minimal baseline encoder (fixtures / round-trip tests)
 # ---------------------------------------------------------------------------
 
-# fixed-length canonical tables: 12 DC symbols at 5 bits, 162 AC symbols
-# at 8 bits — valid (incomplete) prefix codes, written verbatim to DHT
+# fixed-length canonical tables: 12 DC symbols at 5 bits, 176 AC symbols
+# at 8 bits — valid (incomplete) prefix codes, written verbatim to DHT.
+# s=0 rows cover EOB0..EOB14 (progressive EOB runs) plus ZRL (0xF0).
 _DC_BITS = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _DC_VALS = bytes(range(12))
 _AC_SYMBOLS = bytes(
-    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    [r << 4 for r in range(16)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
 )
 _AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
 
@@ -412,11 +683,9 @@ def _pad_to(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def encode_jpeg(
-    pixels: np.ndarray, subsampling: str = "444", restart_interval: int = 0
-) -> bytes:
-    """Baseline JPEG writer: (h, w) gray or (h, w, 3) RGB uint8.
-    All-ones quant tables (near-lossless), 4:4:4 or 4:2:0."""
+def _prep_planes(pixels: np.ndarray, subsampling: str):
+    """Shared color-transform + subsample + pad-to-MCU-grid front half of
+    both writers. Returns (h, w, samp, planes, mcus_x, mcus_y)."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     if gray:
@@ -448,7 +717,15 @@ def encode_jpeg(
         _pad_to(p, mcus_y * vs * 8, mcus_x * hs * 8)[: mcus_y * vs * 8, : mcus_x * hs * 8]
         for p, (hs, vs) in zip(planes, samp)
     ]
+    return h, w, samp, planes, mcus_x, mcus_y
 
+
+def encode_jpeg(
+    pixels: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """Baseline JPEG writer: (h, w) gray or (h, w, 3) RGB uint8.
+    All-ones quant tables (near-lossless), 4:4:4 or 4:2:0."""
+    h, w, samp, planes, mcus_x, mcus_y = _prep_planes(pixels, subsampling)
     out = bytearray(b"\xff\xd8")
     # DQT: one all-ones 8-bit table, id 0
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + b"\x01" * 64
@@ -493,5 +770,284 @@ def encode_jpeg(
                     preds[ci] = _encode_block(writer, block, preds[ci])
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2 fixtures: spectral selection + successive approx)
+# ---------------------------------------------------------------------------
+
+
+def _sym(w: _BitWriter, enc: dict, sym: int) -> None:
+    ln, code = enc[sym]
+    w.write(code, ln)
+
+
+def _amp(w: _BitWriter, v: int, s: int) -> None:
+    w.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+class _ScanWriter:
+    """One scan's entropy stream: per-restart-interval segments joined
+    with RSTn markers, each segment 1-padded to a byte boundary."""
+
+    def __init__(self) -> None:
+        self.chunks: list[bytes] = []
+        self.w = _BitWriter()
+        self.rst = 0
+
+    def restart(self) -> None:
+        self.w.flush()
+        self.chunks.append(bytes(self.w.out))
+        self.chunks.append(bytes([0xFF, 0xD0 + (self.rst & 7)]))
+        self.rst += 1
+        self.w = _BitWriter()
+
+    def done(self) -> bytes:
+        self.w.flush()
+        self.chunks.append(bytes(self.w.out))
+        return b"".join(self.chunks)
+
+
+def _plane_coefs(plane: np.ndarray) -> np.ndarray:
+    """FDCT + quant(1) every 8x8 block of a padded plane; returns
+    (by, bx, 64) int64 in ZIGZAG order (index k = zigzag position k)."""
+    hh, ww = plane.shape
+    by, bx = hh // 8, ww // 8
+    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    q = np.round(np.matmul(np.matmul(_T, blocks - 128.0), _T.T)).astype(np.int64)
+    return q.reshape(by, bx, 64)[..., ZIGZAG]
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.1): magnitude shift, sign kept."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _emit_dc_first(coefs, samp, mcus_x, mcus_y, al, ri) -> bytes:
+    """First DC scan: Huffman-coded diffs of the point-transformed DC,
+    MCU-interleaved across all components (T.81 G.1.2.1)."""
+    sw = _ScanWriter()
+    preds = [0] * len(samp)
+    for mcu in range(mcus_x * mcus_y):
+        if ri and mcu and mcu % ri == 0:
+            sw.restart()
+            preds = [0] * len(samp)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (hs, vs) in enumerate(samp):
+            for by in range(vs):
+                for bx in range(hs):
+                    v = int(coefs[ci][my * vs + by, mx * hs + bx, 0]) >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s = abs(diff).bit_length()
+                    _sym(sw.w, _DC_ENC, s)
+                    if s:
+                        _amp(sw.w, diff, s)
+    return sw.done()
+
+
+def _emit_dc_refine(coefs, samp, mcus_x, mcus_y, al, ri) -> bytes:
+    """DC refinement scan: one raw bit (bit ``al`` of the DC) per block,
+    same interleaved order as the first scan (T.81 G.1.2.1)."""
+    sw = _ScanWriter()
+    for mcu in range(mcus_x * mcus_y):
+        if ri and mcu and mcu % ri == 0:
+            sw.restart()
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (hs, vs) in enumerate(samp):
+            for by in range(vs):
+                for bx in range(hs):
+                    v = int(coefs[ci][my * vs + by, mx * hs + bx, 0])
+                    sw.w.write((v >> al) & 1, 1)
+    return sw.done()
+
+
+_MAX_EOBRUN = 32767  # EOB14 + 14 extra bits (r=15 is ZRL, not EOB15)
+
+
+def _emit_ac_first(comp_coefs, own_by, own_bx, ss, se, al, ri) -> bytes:
+    """First AC scan of one component/band: zero-runs + amplitudes with
+    cross-block EOB runs (T.81 G.1.2.2)."""
+    sw = _ScanWriter()
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            _sym(sw.w, _AC_ENC, r << 4)
+            if r:
+                sw.w.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for b in range(own_by * own_bx):
+        if ri and b and b % ri == 0:
+            flush_eob()
+            sw.restart()
+        zz = comp_coefs[b // own_bx, b % own_bx]
+        tv = [_pt_ac(int(zz[k]), al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(tv) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == _MAX_EOBRUN:
+                flush_eob()
+            continue
+        flush_eob()
+        last = nz[-1]
+        run = 0
+        for i in range(last + 1):
+            v = tv[i]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                _sym(sw.w, _AC_ENC, 0xF0)
+                run -= 16
+            s = abs(v).bit_length()
+            _sym(sw.w, _AC_ENC, (run << 4) | s)
+            _amp(sw.w, v, s)
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == _MAX_EOBRUN:
+                flush_eob()
+    flush_eob()
+    return sw.done()
+
+
+def _emit_ac_refine(comp_coefs, own_by, own_bx, ss, se, al, ri) -> bytes:
+    """AC successive-approximation refinement (T.81 G.1.2.3, the
+    jcphuff algorithm): newly-significant coefficients are coded as
+    (run<<4)|1 + sign; already-significant coefficients crossed since
+    the last emitted symbol contribute buffered correction bits emitted
+    right after that symbol; blocks with nothing new fold into EOB runs
+    whose correction bits ride behind the EOBn symbol."""
+    sw = _ScanWriter()
+    eobrun = 0
+    pend: list[int] = []  # correction bits owed by pending EOB-run blocks
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            _sym(sw.w, _AC_ENC, r << 4)
+            if r:
+                sw.w.write(eobrun - (1 << r), r)
+            eobrun = 0
+            for bit in pend:
+                sw.w.write(bit, 1)
+            pend.clear()
+
+    for b in range(own_by * own_bx):
+        if ri and b and b % ri == 0:
+            flush_eob()
+            sw.restart()
+        zz = comp_coefs[b // own_bx, b % own_bx]
+        tv = [_pt_ac(int(zz[k]), al) for k in range(ss, se + 1)]
+        newly = [i for i, v in enumerate(tv) if abs(v) == 1]
+        eobpos = newly[-1] if newly else -1
+        cur: list[int] = []  # correction bits since the last symbol
+        r = 0
+        for i, v in enumerate(tv):
+            a = abs(v)
+            if a == 0:
+                r += 1
+                continue
+            # ZRLs are only real (not folded into the EOB run) while a
+            # newly-significant coefficient still lies ahead
+            while r > 15 and i <= eobpos:
+                flush_eob()
+                _sym(sw.w, _AC_ENC, 0xF0)
+                r -= 16
+                for bit in cur:
+                    sw.w.write(bit, 1)
+                cur = []
+            if a > 1:
+                cur.append(a & 1)
+                continue
+            flush_eob()
+            _sym(sw.w, _AC_ENC, (r << 4) | 1)
+            sw.w.write(1 if v > 0 else 0, 1)
+            for bit in cur:
+                sw.w.write(bit, 1)
+            cur = []
+            r = 0
+        if r > 0 or cur:
+            eobrun += 1
+            pend.extend(cur)
+            if eobrun == _MAX_EOBRUN:
+                flush_eob()
+    flush_eob()
+    return sw.done()
+
+
+def _sos_header(comps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+    sos = bytes([len(comps)])
+    for cid, td, ta in comps:
+        sos += bytes([cid, (td << 4) | ta])
+    sos += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    successive: bool = False,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Progressive (SOF2) JPEG writer: (h, w) gray or (h, w, 3) RGB
+    uint8, all-ones quant. Scan script: interleaved DC first scan, then
+    per-component AC first scans over ``bands``; with
+    ``successive=True`` the first scans carry Al=1 and matching DC/AC
+    refinement scans (Ah=1, Al=0) follow — exercising every decoder
+    path in ``_ProgState``."""
+    for ss, se in bands:
+        if not (1 <= ss <= se <= 63):
+            raise ValueError(f"bad spectral band ({ss}, {se})")
+    h, w, samp, planes, mcus_x, mcus_y = _prep_planes(pixels, subsampling)
+    coefs = [_plane_coefs(p) for p in planes]
+    nc = len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    own = []  # per-component own block grid (AC scans run over this)
+    for hs, vs in samp:
+        comp_w = (w * hs + hmax - 1) // hmax
+        comp_h = (h * vs + vmax - 1) // vmax
+        own.append(((comp_h + 7) // 8, (comp_w + 7) // 8))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + b"\x01" * 64
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (hs, vs) in enumerate(samp):
+        sof += struct.pack(">BBB", ci + 1, (hs << 4) | vs, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS
+    dht += bytes([0x10]) + bytes(_AC_BITS) + _AC_SYMBOLS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    al1 = 1 if successive else 0
+    all_comps = [(ci + 1, 0, 0) for ci in range(nc)]
+    out += _sos_header(all_comps, 0, 0, 0, al1)
+    out += _emit_dc_first(coefs, samp, mcus_x, mcus_y, al1, restart_interval)
+    for ci in range(nc):
+        for ss, se in bands:
+            out += _sos_header([(ci + 1, 0, 0)], ss, se, 0, al1)
+            out += _emit_ac_first(
+                coefs[ci], own[ci][0], own[ci][1], ss, se, al1, restart_interval
+            )
+    if successive:
+        out += _sos_header(all_comps, 0, 0, 1, 0)
+        out += _emit_dc_refine(coefs, samp, mcus_x, mcus_y, 0, restart_interval)
+        for ci in range(nc):
+            for ss, se in bands:
+                out += _sos_header([(ci + 1, 0, 0)], ss, se, 1, 0)
+                out += _emit_ac_refine(
+                    coefs[ci], own[ci][0], own[ci][1], ss, se, 0, restart_interval
+                )
     out += b"\xff\xd9"
     return bytes(out)

@@ -804,6 +804,88 @@ def test_image_metadata_real_jpeg(spark):
     assert abs(got[4]["mean_value"] - got[2]["mean_value"]) < 0.5
 
 
+def test_jpeg_progressive_roundtrip():
+    """Progressive (SOF2) decode: spectral-selection and
+    successive-approximation scan scripts reconstruct bit-identically
+    to the baseline decode of the same image (identical quantized
+    coefficients, identical IDCT), across restart intervals and band
+    splits."""
+    import numpy as np
+
+    from linkgraph.pipeline import jpeg
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)
+    for img in (g, rgb):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+        for kw in (
+            {},
+            {"successive": True},
+            {"restart_interval": 2},
+            {"successive": True, "restart_interval": 2},
+            {"successive": True, "bands": ((1, 1), (2, 9), (10, 63))},
+        ):
+            got = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, **kw))
+            assert np.array_equal(got, base), kw
+        assert np.abs(base.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_progressive_420_smooth_and_corrupt():
+    """4:2:0 progressive (subsampled own-grid AC scans vs MCU-grid DC
+    scan), long EOB runs on a smooth gradient (exact reconstruction),
+    and clean rejection of truncated/invalid scan scripts."""
+    import numpy as np
+    import pytest as _pytest
+
+    from linkgraph.pipeline import jpeg
+
+    rng = np.random.default_rng(11)
+    flat = np.repeat(
+        rng.integers(0, 256, size=(20, 28, 1), dtype=np.uint8), 3, axis=2
+    )
+    for kw in ({}, {"successive": True}):
+        got = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(flat, subsampling="420", **kw)
+        )
+        assert np.abs(got.astype(int) - flat.astype(int)).max() <= 1
+
+    smooth = (np.add.outer(np.arange(120), np.arange(200)) % 256).astype(np.uint8)
+    for kw in ({}, {"successive": True}, {"successive": True, "restart_interval": 3}):
+        got = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(smooth, **kw))
+        assert np.array_equal(got, smooth), kw
+
+    with _pytest.raises(ValueError):
+        jpeg.encode_jpeg_progressive(smooth, bands=((0, 63),))
+    blob = jpeg.encode_jpeg_progressive(smooth, successive=True)
+    for cut in range(40, len(blob), 997):
+        try:
+            jpeg.decode_jpeg(blob[:cut])  # partial decode is legal...
+        except (ValueError, NotImplementedError):
+            pass  # ...and so is a clean raise; anything else fails
+
+
+def test_image_metadata_progressive_jpeg(spark):
+    """image_metadata decodes progressive JPEG for real now: dimensions
+    AND mean_value populated, matching the baseline encoding."""
+    import numpy as np
+
+    from linkgraph.pipeline import jpeg, multimodal
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(jpeg.encode_jpeg(rgb))),
+        (2, bytearray(jpeg.encode_jpeg_progressive(rgb))),
+        (3, bytearray(jpeg.encode_jpeg_progressive(rgb, successive=True))),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, image binary")
+    got = {r["id"]: r for r in multimodal.image_metadata(df).collect()}
+    for i in (1, 2, 3):
+        assert (got[i]["width"], got[i]["height"], got[i]["channels"]) == (19, 17, 3)
+        assert got[i]["mean_value"] == got[1]["mean_value"]
+
+
 def test_image_metadata_jpeg_header_dims(spark):
     """A JPEG without scan data (or progressive SOF2) falls back to the
     SOF marker walk (T.81 §B.2.2): dimensions real, mean_value null."""
