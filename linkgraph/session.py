@@ -67,6 +67,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark 4 routes lower/upper/initcap through ICU full case mapping
+        # by default; the first such call pays CollationAwareUTF8String's
+        # static init (an ICU table build measured at 5 s cold and
+        # 100-200 s single-threaded inside a busy JVM — thread-dump
+        # verified, it serializes all 32 workers behind one class-init
+        # lock). JVM simple case mapping is identical on ASCII corpora;
+        # pass extra_conf={"spark.sql.icu.caseMappings.enabled": "true"}
+        # per-session if an operator genuinely needs ICU semantics.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
