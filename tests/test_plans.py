@@ -1,0 +1,137 @@
+"""Physical-plan regression tests: the scale properties the docs claim
+(docs/PLANS.md) asserted mechanically, so a refactor that silently adds
+an exchange, drops a pushdown, or falls back to a sort-merge join fails
+CI instead of only showing up at 100 TB.
+
+Each test captures ``df.explain(...)`` output and asserts on plan-node
+substrings. They assert RELATIVE exchange counts where a cached
+lineage legitimately contains its one-time repartition exchange.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph import ops
+from linkgraph.pipeline import dedup
+from linkgraph.session import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF_DIR, "lineitem.parquet")),
+    reason="driver testdata not present",
+)
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    """Shuffle-exchange tree nodes only: formatted mode prints each node
+    twice ("+- Exchange (4)" in the tree, "(4) Exchange" in the detail),
+    and Broadcast/ReusedExchange are not data shuffles."""
+    import re
+
+    return len(re.findall(r"(?<![A-Za-z])Exchange \(\d+\)", plan))
+
+
+def test_scan_prunes_columns_and_pushes_filters(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    q = li.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = plan_str(q)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+    # ReadSchema must carry only the two referenced columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "l_orderkey" in read_schema[0] and "l_quantity" in read_schema[0]
+    assert "l_extendedprice" not in read_schema[0]
+    assert "l_returnflag" not in read_schema[0]
+
+
+def test_global_topk_is_take_ordered_not_full_sort(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    q = ops.order_limit(orders, [F.col("o_totalprice").desc()], k=10)
+    plan = plan_str(q)
+    assert "TakeOrderedAndProject" in plan
+    # no global sort of the whole table
+    assert "Sort [o_totalprice" not in plan
+
+
+def test_grouped_topk_is_single_exchange(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    q = ops.top_k(orders, ["o_custkey"], [F.col("o_totalprice").desc()], 3)
+    plan = plan_str(q)
+    assert "Window" in plan
+    assert n_exchanges(plan) == 1, plan
+    # Spark 4 bonus worth pinning: a PARTIAL WindowGroupLimit runs
+    # map-side, so each input partition ships at most k rows per group
+    # into the one exchange — the property that makes grouped top-k
+    # safe under 100 TB skew
+    assert "row_number(), 3, Partial" in plan, plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    q = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    plan = plan_str(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_broadcast_superstep_message_agg_is_exchange_free(
+    spark, tiny_edges
+):
+    """The broadcast-plan superstep shape (algos/pagerank.py:117-151):
+    edges cached hash(dst, P); state broadcast; message aggregation on
+    dst must add ZERO exchanges beyond the cache's one-time repartition
+    — the groupBy(dst) inherits the cache partitioning."""
+    e = tiny_edges.select("src", "dst").repartition(4, "dst").persist()
+    e.count()  # materialize so the test measures the steady-state plan
+    try:
+        # the cache's one-time repartition appears TWICE in a
+        # materialized AQE plan (== Initial Plan == and == Final Plan ==
+        # inside InMemoryRelation) — measure it so the assertion below
+        # is "zero exchanges beyond the cache lineage", however printed
+        base_exchanges = n_exchanges(plan_str(e))
+        active = F.broadcast(
+            tiny_edges.select(
+                F.col("src").alias("vid"), F.lit(1.0).alias("contrib")
+            )
+        )
+        sums = (
+            e.join(active, e["src"] == active["vid"])
+            .select("dst", "contrib")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("msum"))
+        )
+        plan = plan_str(sums)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert n_exchanges(plan) == base_exchanges, plan
+    finally:
+        e.unpersist()
+
+
+def test_minhash_signature_has_map_side_combine(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    sig = dedup.minhash_signature(docs, num_hashes=8)
+    # simple physical plan shows partial_min before the exchange — the
+    # map-side combine that collapses each doc's shingles pre-shuffle
+    plan = plan_str(sig, mode="simple")
+    assert "partial_min" in plan, plan
+    partial_pos = plan.index("partial_min")
+    # plan prints top-down: the final agg's Exchange appears ABOVE
+    # (before) the partial HashAggregate feeding it
+    exchange_pos = plan.index("Exchange")
+    assert exchange_pos < partial_pos, plan
