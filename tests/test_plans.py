@@ -135,3 +135,43 @@ def test_minhash_signature_has_map_side_combine(spark):
     # (before) the partial HashAggregate feeding it
     exchange_pos = plan.index("Exchange")
     assert exchange_pos < partial_pos, plan
+
+
+def test_pagerank_exchange_plan_partially_aggregates_before_shuffle(
+    spark, tiny_edges
+):
+    """The exchange-plan superstep (pagerank broadcast_state=False, the
+    10^12-doc regime): messages groupBy(dst) over a src-partitioned edge
+    cache must show a PARTIAL HashAggregate below its exchange — the
+    E-row stream collapses to ~|V| partial sums per partition before
+    anything crosses the wire."""
+    e = tiny_edges.select("src", "dst").repartition(4, "src").persist()
+    e.count()
+    try:
+        state = tiny_edges.select(
+            F.col("src").alias("vid"), F.lit(1.0).alias("contrib")
+        )
+        joined = e.join(state, e["src"] == state["vid"]).select("dst", "contrib")
+        sums = joined.groupBy("dst").agg(F.sum("contrib").alias("msum"))
+        plan = plan_str(sums, mode="simple")
+        assert "partial_sum" in plan, plan
+        # top-down print: final agg's Exchange is ABOVE the partial agg
+        assert plan.index("Exchange") < plan.index("partial_sum"), plan
+    finally:
+        e.unpersist()
+
+
+def test_two_phase_agg_is_two_exchanges_salted_then_keyed(spark):
+    """ops.two_phase_agg (the explicit hot-key path): phase 1 shuffles
+    on (key, salt) so a power-law hot key spreads over salt_buckets
+    reducers; phase 2 shuffles |keys|*salt rows only. Both phases also
+    map-side combine (partial_ functions below each exchange)."""
+    orders = load_table(spark, SF_DIR, "orders")
+    q = ops.two_phase_agg(
+        orders, "o_custkey", {"s": (F.sum, F.sum, "o_totalprice")}, salt_buckets=8
+    )
+    plan = plan_str(q)
+    assert n_exchanges(plan) == 2, plan
+    assert "__salt__" in plan
+    simple = plan_str(q, mode="simple")
+    assert simple.count("partial_sum") >= 2, simple
