@@ -129,8 +129,25 @@ def main() -> None:
 
         return deco
 
+    def canary() -> float:
+        """Machine-speed probe: a fixed JVM-side whole-stage-codegen
+        workload (range->sum, no IO, no shuffle data) timed best-of-3.
+        Identical across rounds by construction, so the ratio of this
+        number between two BENCH artifacts measures the HOST, not the
+        code — the normalizer for cross-round query comparisons on a
+        noisy multi-tenant box."""
+        best = None
+        for _ in range(3):
+            t0 = time.monotonic()
+            spark.range(0, 2_000_000_000, 1, int(CPUS) if str(CPUS).isdigit() else 32).selectExpr(
+                "sum(id * 3 + 7)"
+            ).collect()
+            best = min(best or 9e9, time.monotonic() - t0)
+        return round(best, 3)
+
     edges = bench_edges(spark).persist()
     n_edges = edges.count()
+    extras["canary_start_s"] = canary()
 
     # untimed JIT/cache warmup: one throwaway superstep-shaped pass
     # (codegen + broadcast paths compile here, not inside the timings)
@@ -206,6 +223,7 @@ def main() -> None:
         )
         return simsearch.brute_force_topk(emb, q, k=10).count()
 
+    extras["canary_end_s"] = canary()
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     steal1, total1 = _cpu_jiffies()
