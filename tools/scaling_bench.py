@@ -104,14 +104,30 @@ def run_submit(
         "--num-partitions",
         str(cache_partitions),
     ]
+    s0, t0 = _cpu_jiffies()
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    s1, t1 = _cpu_jiffies()
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            r = json.loads(line)
+            dt = t1 - t0
+            r["cpu_steal_pct"] = round(100.0 * (s1 - s0) / dt, 2) if dt > 0 else None
+            return r
     raise RuntimeError(
         f"no JSON from spark-submit: {out.stdout[-2000:]}\n{out.stderr[-2000:]}"
     )
+
+
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies — same noisy-neighbor evidence bench.py
+    records, so each scaling level carries the steal share it ran under."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(v) for v in fh.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
 
 
 def main() -> None:
@@ -122,6 +138,13 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=15)
     p.add_argument("--cache-partitions", type=int, default=128)
     p.add_argument("--workdir", default="/tmp/lg_scaling_run")
+    p.add_argument(
+        "--write-md",
+        action="store_true",
+        help="regenerate BENCH/BASELINE.md from this run (appendices "
+        "preserved). Off by default so a smoke run at a reduced edge "
+        "count cannot clobber the authoritative measurement.",
+    )
     args = p.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -152,8 +175,15 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "iter_times_N": r_lo["iter_times_s"],
         "iter_times_4N": r_hi["iter_times_s"],
+        "cpu_steal_pct_N": r_lo.get("cpu_steal_pct"),
+        "cpu_steal_pct_4N": r_hi.get("cpu_steal_pct"),
     }
     print(json.dumps(report))
+    if not args.write_md:
+        print(
+            "(--write-md not set: BENCH/BASELINE.md untouched)", file=sys.stderr
+        )
+        return
 
     md = f"""# BENCH/BASELINE — scaling evidence (BASELINE.md protocol)
 
