@@ -43,6 +43,13 @@ def get_spark(
     partitions ≈ cores, never the 200 default). On a real cluster the
     same code runs unmodified — only ``master`` and the partition
     count change (see bench/BASELINE.md scaling protocol).
+
+    Note: ICU full case mapping is disabled session-wide (see the
+    inline comment below) — ``lower``/``upper``/``initcap`` use JVM
+    simple case mapping, which differs from ICU on a handful of
+    non-ASCII code points (Turkish dotted İ, ligatures, final sigma).
+    Pass ``extra_conf={"spark.sql.icu.caseMappings.enabled": "true"}``
+    for corpora where those distinctions matter.
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")

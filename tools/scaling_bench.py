@@ -104,30 +104,27 @@ def run_submit(
         "--num-partitions",
         str(cache_partitions),
     ]
-    s0, t0 = _cpu_jiffies()
+    j0 = _hostmeter().cpu_jiffies()
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    s1, t1 = _cpu_jiffies()
+    j1 = _hostmeter().cpu_jiffies()
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
             r = json.loads(line)
-            dt = t1 - t0
-            r["cpu_steal_pct"] = round(100.0 * (s1 - s0) / dt, 2) if dt > 0 else None
+            r["cpu_steal_pct"] = _hostmeter().steal_pct(j0, j1)
             return r
     raise RuntimeError(
         f"no JSON from spark-submit: {out.stdout[-2000:]}\n{out.stderr[-2000:]}"
     )
 
 
-def _cpu_jiffies() -> tuple[int, int]:
-    """(steal, total) jiffies — same noisy-neighbor evidence bench.py
-    records, so each scaling level carries the steal share it ran under."""
-    try:
-        with open("/proc/stat") as fh:
-            vals = [int(v) for v in fh.readline().split()[1:]]
-        return (vals[7] if len(vals) > 7 else 0), sum(vals)
-    except (OSError, ValueError, IndexError):
-        return 0, 0
+def _hostmeter():
+    """Shared steal/jiffy sampling (one copy for bench.py and this tool,
+    so the noisy-neighbor evidence they record can never diverge)."""
+    sys.path.insert(0, REPO)
+    from linkgraph import hostmeter
+
+    return hostmeter
 
 
 def main() -> None:
@@ -233,7 +230,7 @@ bandwidth with executor count, which local mode cannot emulate; the
 2→8 measurement keeps per-core bandwidth in the unsaturated regime and
 is the honest analog of adding executors.
 
-Reproduce: `python tools/scaling_bench.py --n {args.n} --edges {args.edges} --verts {args.verts} --iters {args.iters}`
+Reproduce: `python tools/scaling_bench.py --n {args.n} --edges {args.edges} --verts {args.verts} --iters {args.iters} --write-md`
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
