@@ -1202,6 +1202,73 @@ def _e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic coordinates from customer keys — exact
+    quarter-degree steps (integer arithmetic then /4.0) so Spark and
+    DuckDB derive bit-identical doubles."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    return cust.select(
+        "c_custkey",
+        ((k % 600) / 4.0 - 74.0).alias("lng1"),
+        (((k * 7) % 300) / 4.0 - 37.0).alias("lat1"),
+        ((k % 600) / 4.0 - 74.0 + ((k % 23) - 11) / 4.0).alias("lng2"),
+        (((k * 7) % 300) / 4.0 - 37.0 + ((k % 19) - 9) / 4.0).alias("lat2"),
+    )
+
+
+_GEO_RECT = "POLYGON ((-50 -20, 50 -20, 50 20, -50 20, -50 -20))"
+
+
+def _x_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_distance UDF (GeoDistance.java:32 via linkgraph.geo): WKT
+    points built from the columns, Arrow-batched parse + the reference's
+    equirectangular formula; the oracle re-derives the same formula
+    directly in SQL. Rounded to mm so libm ulp differences can't flip
+    the 10-significant-digit value compare."""
+    from linkgraph.functions import SCALARS
+
+    pts = _geo_points(spark, sf_dir)
+
+    def wkt(lng, lat):
+        return F.concat(
+            F.lit("POINT ("), lng.cast("string"), F.lit(" "), lat.cast("string"), F.lit(")")
+        )
+
+    return pts.select(
+        "c_custkey",
+        F.round(
+            SCALARS["geo_distance"](
+                wkt(F.col("lng1"), F.col("lat1")), wkt(F.col("lng2"), F.col("lat2"))
+            ),
+            3,
+        ).alias("dist_m"),
+    )
+
+
+def _x_geo_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_within + geo_is_intersects UDFs vs a fixed rectangle; the
+    oracle lowers them to strict / inclusive range predicates (within is
+    boundary-exclusive, intersects boundary-inclusive — JTS semantics,
+    GeoUtils.java:276-337)."""
+    from linkgraph.functions import SCALARS
+
+    pts = _geo_points(spark, sf_dir)
+    pt = F.concat(
+        F.lit("POINT ("),
+        F.col("lng1").cast("string"),
+        F.lit(" "),
+        F.col("lat1").cast("string"),
+        F.lit(")"),
+    )
+    rect = F.lit(_GEO_RECT)
+    return pts.select(
+        "c_custkey",
+        SCALARS["geo_within"](pt, rect).alias("within_rect"),
+        SCALARS["geo_is_intersects"](pt, rect).alias("touches_rect"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness sweep records only the
     # FIRST 50 entries. Queries that have never had a driver-recorded
@@ -1211,6 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # byte-unchanged) rotate past the window and are re-verified
     # locally each round via tools/check_oracle.py (see COVERAGE.md).
     return {
+        "x_geo_distance": _x_geo_distance,
+        "x_geo_within": _x_geo_within,
         "d_near_dedup": _d_near_dedup,
         "c2_concept_rule_file": _c2_concept_rule_file,
         "d_simhash_pairs": _d_simhash_pairs,
@@ -1900,8 +1969,41 @@ SELECT vec_id, ROUND(raw, 6) AS score
 FROM scored ORDER BY raw DESC, vec_id ASC LIMIT 10"""
 
 
+_GEO_PTS_SQL = """
+    SELECT c_custkey,
+           (c_custkey % 600) / 4.0 - 74.0 AS lng1,
+           ((c_custkey * 7) % 300) / 4.0 - 37.0 AS lat1,
+           (c_custkey % 600) / 4.0 - 74.0 + ((c_custkey % 23) - 11) / 4.0 AS lng2,
+           ((c_custkey * 7) % 300) / 4.0 - 37.0 + ((c_custkey % 19) - 9) / 4.0 AS lat2
+    FROM customer
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # GeoUtils.distance (GeoUtils.java:252-268) re-derived in SQL:
+        # same operand order so both engines hit identical libm calls
+        "x_geo_distance": f"""
+            WITH pts AS ({_GEO_PTS_SQL}),
+            legs AS (
+                SELECT c_custkey,
+                       radians(lng1 - lng2) * 6367000.0
+                         * cos(radians((lat1 + lat2) / 2.0)) AS lx,
+                       6367000.0 * radians(lat1 - lat2) AS ly
+                FROM pts
+            )
+            SELECT c_custkey, round(sqrt(lx * lx + ly * ly), 3) AS dist_m
+            FROM legs
+        """,
+        "x_geo_within": f"""
+            WITH pts AS ({_GEO_PTS_SQL})
+            SELECT c_custkey,
+                   lng1 > -50 AND lng1 < 50 AND lat1 > -20 AND lat1 < 20
+                     AS within_rect,
+                   lng1 >= -50 AND lng1 <= 50 AND lat1 >= -20 AND lat1 <= 20
+                     AS touches_rect
+            FROM pts
+        """,
         "q1_agg": """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -15,6 +15,7 @@ from __future__ import annotations
 import re
 from collections.abc import Callable
 
+import pandas as pd  # pandas_udf type hints (geo group) resolve at module scope
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -245,3 +246,134 @@ def trans_count_by_day(ts: Column, min_count: int = 1) -> tuple[Column, Column]:
     threshold. Returns (group_expr, filter_on_count) to use in
     groupBy(...).agg(F.count) + where."""
     return F.date_trunc("day", ts), F.count(F.lit(1)) >= min_count
+
+
+# --------------------------------------------------------------------------
+# geo functions (builtin/udf/Geo*.java + udtf/GeoBufferAndConvert2S2CellId)
+#
+# The one pandas-UDF group in the registry: WKT geometry math is per-row
+# scalar work with no Catalyst equivalent, so these are Arrow-batched
+# pandas UDFs (the reference's versions are per-row JVM calls through
+# JTS; Arrow batching is the Spark-idiomatic analog — never row-at-a-time
+# Python). A per-batch parse memo makes the common literal-vs-column
+# shape parse the literal once per batch.
+# --------------------------------------------------------------------------
+
+
+def _geo_binary_udf(kernel, ret_type):
+    # ret_type is a DataType INSTANCE: a DDL string would need an active
+    # SparkContext to parse at registry-import time
+    from pyspark.sql.functions import pandas_udf
+
+    from linkgraph import geo as _geo
+
+    @pandas_udf(ret_type)
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        memo: dict[str, object] = {}
+
+        def parse(s):
+            if s is None:
+                return None
+            g = memo.get(s, False)
+            if g is False:
+                try:
+                    g = _geo.parse_wkt(s)
+                except Exception:
+                    g = None
+                memo[s] = g
+            return g
+
+        out = []
+        for s1, s2 in zip(a, b):
+            g1, g2 = parse(s1), parse(s2)
+            if g1 is None or g2 is None:
+                out.append(None)  # reference UDFs return null on bad WKT
+                continue
+            try:
+                out.append(kernel(_geo, g1, g2))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return _udf
+
+
+def _geo_dist_kernel(geo, g1, g2):
+    (x1, y1), (x2, y2) = geo.nearest_points(g1, g2)
+    return geo.distance_m(y1, x1, y2, x2)
+
+
+def _geo_shape_kernel(geo, g1, g2):
+    if not geo.intersects(g1, g2):
+        return "POLYGON EMPTY"
+    rings = geo.intersection_polygons(g1, g2)
+    if not rings:
+        return "POLYGON EMPTY"
+    if len(rings) == 1:
+        return geo.to_wkt(geo.Geom("Polygon", [rings[0]]))
+    return geo.to_wkt(geo.Geom("MultiPolygon", [[r] for r in rings]))
+
+
+def _geo_area_kernel(geo, g1, g2):
+    import math as _math
+
+    if not geo.intersects(g1, g2):
+        return -1.0
+    if g1.kind != "Polygon" or g2.kind != "Polygon":
+        return 0.0
+    lng0, lat0 = g1.centroid()
+    p1 = [geo._tm_project(x, y, lng0, lat0) for x, y in g1.data[0]]
+    p2 = [geo._tm_project(x, y, lng0, lat0) for x, y in g2.data[0]]
+    return float(
+        sum(abs(geo._ring_signed_area(r)) for r in geo._clip_rings(p1, p2))
+    )
+
+
+def _register_geo() -> None:
+    # lazy: building a pandas_udf needs an active Spark context at call
+    # time, but constructing the udf object is context-free, so these are
+    # created once at import like every other registry entry
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        StringType,
+    )
+
+    SCALARS["geo_distance"] = _geo_binary_udf(_geo_dist_kernel, DoubleType())
+    SCALARS["geo_within"] = _geo_binary_udf(
+        lambda geo, g1, g2: geo.within(g1, g2), BooleanType()
+    )
+    SCALARS["geo_is_intersects"] = _geo_binary_udf(
+        lambda geo, g1, g2: geo.intersects(g1, g2), BooleanType()
+    )
+    SCALARS["geo_intersects_shape"] = _geo_binary_udf(_geo_shape_kernel, StringType())
+    SCALARS["geo_intersects_area"] = _geo_binary_udf(_geo_area_kernel, DoubleType())
+
+    from pyspark.sql.functions import pandas_udf
+
+    from linkgraph import geo as _geo
+
+    @pandas_udf(ArrayType(StringType()))
+    def _s2_udtf(wkt: pd.Series, meters: pd.Series) -> pd.Series:
+        out = []
+        for s, m in zip(wkt, meters):
+            if s is None or (isinstance(s, str) and not s.strip()):
+                out.append([])  # GeoBufferAndConvert2S2CellId.java:57-60
+                continue
+            try:
+                out.append(
+                    _geo.s2_covering_tokens(s, float(m) if m is not None else 0.0)
+                )
+            except Exception:
+                out.append([])  # :80-86 — forward empty on error
+            
+        return pd.Series(out)
+
+    # UDTF contract: array column + linked_expand's JVM-side explode
+    UDTFS["geo_buffer_and_convert_2_s2CellId"] = lambda wkt, meters: _s2_udtf(
+        wkt, meters if isinstance(meters, Column) else F.lit(float(meters))
+    )
+
+
+_register_geo()
