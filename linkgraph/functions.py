@@ -170,6 +170,75 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
 }
 
 
+def _trans_count_by_day_agg(ts, time_unit="s", threshold=1, op="large"):
+    """TransCountByDay.java:34-111 as a registry AGGREGATE: bucket the
+    group's timestamps by day ('yyyyMMdd', session timezone — the
+    reference uses TimeZone.getDefault(), DateUtils.java:25) and count
+    the days whose event count is > threshold ('large') or < threshold
+    ('small'); other ops raise, as in judgeThreshold. Single linear
+    fold over the sorted day list (run-length encode + judge each
+    completed run), so it stays one mergeable collect + one expression."""
+    if op not in ("large", "small"):
+        raise ValueError(f"{op} not impl")  # judgeThreshold parity
+    div = {"s": 1, "ms": 1_000, "us": 1_000_000}
+    if time_unit not in div:
+        raise ValueError(f"time unit need in s/ms/us, but this is {time_unit}")
+    sec = (ts.cast("long") / F.lit(div[time_unit])).cast("long")
+    day = F.date_format(F.timestamp_seconds(sec), "yyyyMMdd")
+    thr = F.lit(int(threshold))
+
+    def judge(run):
+        return run > thr if op == "large" else run < thr
+
+    def step(acc, d):
+        same = acc["prev"] == d
+        return F.struct(
+            d.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                acc["hits"]
+                + F.when(~same & (acc["run"] > 0) & judge(acc["run"]), 1).otherwise(0)
+            ).alias("hits"),
+        )
+
+    return F.aggregate(
+        F.sort_array(F.collect_list(day)),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("hits")
+        ),
+        step,
+        lambda acc: (
+            acc["hits"] + F.when((acc["run"] > 0) & judge(acc["run"]), 1).otherwise(0)
+        ).cast("long"),
+    )
+
+
+AGGREGATES["trans_count_by_day"] = _trans_count_by_day_agg
+
+
+def _order_edge_and_slice_sum_agg(c, order_op="desc", limit=1):
+    """OrderEdgeAndSliceAgg.java:31-92: sort the group's values
+    ('desc' reverses, anything else keeps ascending — matching the
+    evaluate()'s Collections.sort + conditional reverse), take the
+    first `limit`, sum as double."""
+    lst = F.sort_array(
+        F.collect_list(c.cast("double") if isinstance(c, Column) else F.col(c).cast("double")),
+        asc=order_op != "desc",
+    )
+    return F.aggregate(
+        F.slice(lst, 1, int(limit)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+AGGREGATES["order_edge_and_slice_sum"] = _order_edge_and_slice_sum_agg
+
+# camelCase compatibility names the reference registers verbatim
+# (@UdfDefine(name="dayOfWeek"/"hourOfDay"/"randomLong"))
+SCALARS["dayOfWeek"] = SCALARS["day_of_week"]
+SCALARS["hourOfDay"] = SCALARS["hour_of_day"]
+SCALARS["randomLong"] = lambda: (F.rand() * F.lit(2**62)).cast("long")
+
+
 # --------------------------------------------------------------------------
 # public registration surface (@UdfDefine analog,
 # /root/reference/reasoner/udf/src/main/java/com/antgroup/openspg/reasoner/udf/UdfMngFactory.java:
@@ -196,6 +265,11 @@ UDTFS: dict[str, Callable[..., Column]] = {
     # built-ins: each returns an ARRAY column; one output row per element
     # (BaseUdtf.process emitting N rows == an N-element array + explode)
     "split_to_rows": lambda c, sep=r"\s+": F.split(F.trim(c), sep),
+    # ExpandLinkedAlipayStandardId.java:28-66 — identity link UDTF: emit
+    # the id itself as the linked target, nothing when blank/null
+    "expand_linked_alipay_id": lambda c: F.when(
+        F.coalesce(F.trim(c) == "", F.lit(True)), F.array().cast("array<string>")
+    ).otherwise(F.array(c.cast("string"))),
     "ngram_rows": lambda c, n=2: F.transform(
         F.sequence(
             F.lit(1),
@@ -315,7 +389,6 @@ def _geo_shape_kernel(geo, g1, g2):
 
 
 def _geo_area_kernel(geo, g1, g2):
-    import math as _math
 
     if not geo.intersects(g1, g2):
         return -1.0
@@ -340,15 +413,28 @@ def _register_geo() -> None:
         StringType,
     )
 
-    SCALARS["geo_distance"] = _geo_binary_udf(_geo_dist_kernel, DoubleType())
-    SCALARS["geo_within"] = _geo_binary_udf(
-        lambda geo, g1, g2: geo.within(g1, g2), BooleanType()
+    def _lift2(udf):
+        # rule front-ends hand literal args through as raw Python values
+        # (a literal WKT polygon is the common shape in geo rules) — a
+        # pandas_udf would read a raw str as a COLUMN NAME, so lift
+        return lambda a, b: udf(
+            a if isinstance(a, Column) else F.lit(a),
+            b if isinstance(b, Column) else F.lit(b),
+        )
+
+    SCALARS["geo_distance"] = _lift2(_geo_binary_udf(_geo_dist_kernel, DoubleType()))
+    SCALARS["geo_within"] = _lift2(
+        _geo_binary_udf(lambda geo, g1, g2: geo.within(g1, g2), BooleanType())
     )
-    SCALARS["geo_is_intersects"] = _geo_binary_udf(
-        lambda geo, g1, g2: geo.intersects(g1, g2), BooleanType()
+    SCALARS["geo_is_intersects"] = _lift2(
+        _geo_binary_udf(lambda geo, g1, g2: geo.intersects(g1, g2), BooleanType())
     )
-    SCALARS["geo_intersects_shape"] = _geo_binary_udf(_geo_shape_kernel, StringType())
-    SCALARS["geo_intersects_area"] = _geo_binary_udf(_geo_area_kernel, DoubleType())
+    SCALARS["geo_intersects_shape"] = _lift2(
+        _geo_binary_udf(_geo_shape_kernel, StringType())
+    )
+    SCALARS["geo_intersects_area"] = _lift2(
+        _geo_binary_udf(_geo_area_kernel, DoubleType())
+    )
 
     from pyspark.sql.functions import pandas_udf
 
@@ -367,12 +453,12 @@ def _register_geo() -> None:
                 )
             except Exception:
                 out.append([])  # :80-86 — forward empty on error
-            
         return pd.Series(out)
 
     # UDTF contract: array column + linked_expand's JVM-side explode
     UDTFS["geo_buffer_and_convert_2_s2CellId"] = lambda wkt, meters: _s2_udtf(
-        wkt, meters if isinstance(meters, Column) else F.lit(float(meters))
+        wkt if isinstance(wkt, Column) else F.lit(wkt),
+        meters if isinstance(meters, Column) else F.lit(float(meters)),
     )
 
 

@@ -1021,7 +1021,23 @@ def s2_covering_tokens(
                 ids.add(cellid_from_latlng(lat, lng, level))
                 if len(ids) >= S2_MAX_CELL_IDS:
                     return [cellid_to_token(c) for c in sorted(ids)]
-    # always include the cells of the vertices themselves
+    # walk the boundary/segments so zero-area geometries (bare
+    # LineStrings, thin polygons) emit the cells they pass through —
+    # the bbox grid only catches points with distance <= buffer, which
+    # a measure-zero line almost never satisfies at grid points
+    for a, b in g.segments():
+        seg_len = math.hypot(b[0] - a[0], b[1] - a[1])
+        steps = max(1, int(math.ceil(seg_len / (pitch / 2))))
+        for s_i in range(steps + 1):
+            t = s_i / steps
+            ids.add(
+                cellid_from_latlng(
+                    a[1] + t * (b[1] - a[1]), a[0] + t * (b[0] - a[0]), level
+                )
+            )
+            if len(ids) >= S2_MAX_CELL_IDS:
+                return [cellid_to_token(c) for c in sorted(ids)]
+    # and the cells of the vertices themselves
     for px, py in g.points():
         ids.add(cellid_from_latlng(py, px, level))
     return [cellid_to_token(c) for c in sorted(ids)]

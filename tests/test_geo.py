@@ -358,3 +358,60 @@ def test_geo_udfs_in_spark(spark):
     assert sorted({r["cell"] for r in rows}) == G.s2_covering_tokens(
         "POINT (116.397 39.909)", 1000.0
     )
+
+
+def test_geo_functions_from_gql_rules(spark):
+    """The reference calls geo UDFs inside rule expressions
+    (GeoDistance.java et al. resolve through UdfMng at rule-eval time);
+    here the GQL front-end resolves them from functions.SCALARS, with
+    literal WKT args lifted to columns (a raw str would otherwise be
+    read as a column name by the pandas UDF)."""
+    from linkgraph.gql import PropertyGraph, compile_query
+
+    verts = spark.createDataFrame(
+        [
+            (1, "POINT (0 0)"),
+            (2, "POINT (0.5 0)"),
+            (3, "POINT (30 30)"),
+            (4, "POINT (0 0.25)"),
+        ],
+        "vid bigint, loc string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src bigint, dst bigint"
+    )
+    g = PropertyGraph({"V": verts}, {"E": edges})
+    # column-vs-column distance in a WHERE
+    got = {
+        r["b"]
+        for r in compile_query(
+            "MATCH (a)-[]->(b) WHERE geo_distance(a.loc, b.loc) < 60000 "
+            "RETURN b.vid AS b",
+            g,
+        ).collect()
+    }
+    assert got == {2, 4}
+    # literal WKT arg (the common rule shape: containment in a fixed zone)
+    got2 = {
+        r["b"]
+        for r in compile_query(
+            "MATCH (a)-[]->(b) WHERE geo_within(b.loc, "
+            "'POLYGON ((-1 -1, 1 -1, 1 1, -1 1, -1 -1))') RETURN b.vid AS b",
+            g,
+        ).collect()
+    }
+    assert got2 == {2, 4}
+
+
+def test_s2_covering_bare_linestring():
+    # a zero-area geometry emits the cells its segments pass through
+    # (segment-walk sampling; the bbox grid alone can't hit a line)
+    toks = G.s2_covering_tokens("LINESTRING (116.39 39.90, 116.45 39.90)")
+    # ~6.7 km east-west over ~600 m cells
+    assert 8 <= len(toks) <= 30
+    assert toks == sorted(toks)
+    ends = {
+        G.cellid_to_token(G.cellid_from_latlng(39.90, lng, 14))
+        for lng in (116.39, 116.45)
+    }
+    assert ends <= set(toks)

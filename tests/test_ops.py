@@ -1,5 +1,6 @@
 """Parity-layer operator tests (RDG surface, SURVEY.md §2.1 mapping)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from linkgraph import ops
@@ -261,6 +262,14 @@ def test_builtin_udtfs(spark):
     assert words == {"the", "quick", "brown", "fox"}
     grams = [r["g"] for r in df.select(F.explode(UDTFS["ngram_rows"](F.col("s"), 2)).alias("g")).collect()]
     assert grams == ["the quick", "quick brown", "brown fox"]
+    # expand_linked_alipay_id: identity link, blank/null emit nothing
+    # (ExpandLinkedAlipayStandardId.java:51-65)
+    ids = spark.createDataFrame([("2088x",), ("  ",), (None,)], "i string")
+    got = [
+        r["linked"]
+        for r in ops.linked_expand(ids, "expand_linked_alipay_id", F.col("i")).collect()
+    ]
+    assert got == ["2088x"]
 
 
 def test_var_len_paths_per_src_limit(spark):
@@ -306,3 +315,58 @@ def test_contains_tag_and_now_random(spark):
         SCALARS["now"]().alias("ts"), SCALARS["random"]().alias("r")
     ).collect()[0]
     assert row["ts"] is not None and 0.0 <= row["r"] < 1.0
+
+
+def test_trans_count_by_day_and_slice_sum_aggregates(spark):
+    """trans_count_by_day (TransCountByDay.java:34-111) and
+    order_edge_and_slice_sum (OrderEdgeAndSliceAgg.java:31-92) as real
+    registry aggregates: day-bucketed threshold counting and top-k-sum."""
+    from linkgraph.functions import AGGREGATES
+
+    day = 86400
+    rows = [
+        # user 1: day0 x3, day1 x1
+        (1, 0), (1, 100), (1, 200), (1, day + 50),
+        # user 2: day0 x1, day2 x2
+        (2, 10), (2, 2 * day), (2, 2 * day + 5),
+    ]
+    df = spark.createDataFrame(rows, "uid bigint, ts bigint")
+    got = {
+        (r["uid"], r["big"], r["small"])
+        for r in df.groupBy("uid")
+        .agg(
+            AGGREGATES["trans_count_by_day"](F.col("ts"), "s", 2, "large").alias("big"),
+            AGGREGATES["trans_count_by_day"](F.col("ts"), "s", 2, "small").alias("small"),
+        )
+        .collect()
+    }
+    # user 1: one day with 3 (>2), one with 1 (<2); user 2: one with 2
+    # (neither), one with 1 (<2)
+    assert got == {(1, 1, 1), (2, 0, 1)}
+    # ms unit shifts the same instants, same buckets
+    got_ms = {
+        (r["uid"], r["big"])
+        for r in df.select("uid", (F.col("ts") * 1000).alias("ms"))
+        .groupBy("uid")
+        .agg(AGGREGATES["trans_count_by_day"](F.col("ms"), "ms", 2, "large").alias("big"))
+        .collect()
+    }
+    assert got_ms == {(1, 1), (2, 0)}
+    with pytest.raises(ValueError):
+        AGGREGATES["trans_count_by_day"](F.col("ts"), "s", 2, "equals")
+    with pytest.raises(ValueError):
+        AGGREGATES["trans_count_by_day"](F.col("ts"), "weeks", 2, "large")
+
+    vals = spark.createDataFrame(
+        [(1, 5.0), (1, 1.0), (1, 9.0), (2, 3.0)], "g bigint, v double"
+    )
+    got2 = {
+        (r["g"], r["top2"], r["bot1"])
+        for r in vals.groupBy("g")
+        .agg(
+            AGGREGATES["order_edge_and_slice_sum"](F.col("v"), "desc", 2).alias("top2"),
+            AGGREGATES["order_edge_and_slice_sum"](F.col("v"), "asc", 1).alias("bot1"),
+        )
+        .collect()
+    }
+    assert got2 == {(1, 14.0, 1.0), (2, 3.0, 3.0)}
