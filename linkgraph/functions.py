@@ -236,7 +236,9 @@ AGGREGATES["order_edge_and_slice_sum"] = _order_edge_and_slice_sum_agg
 # (@UdfDefine(name="dayOfWeek"/"hourOfDay"/"randomLong"))
 SCALARS["dayOfWeek"] = SCALARS["day_of_week"]
 SCALARS["hourOfDay"] = SCALARS["hour_of_day"]
-SCALARS["randomLong"] = lambda: (F.rand() * F.lit(2**62)).cast("long")
+# full signed-64-bit range like Random.nextLong() (F.rand alone has 53
+# bits and never goes negative): hash a fresh random double
+SCALARS["randomLong"] = lambda: F.xxhash64(F.rand())
 
 
 # --------------------------------------------------------------------------
@@ -378,28 +380,11 @@ def _geo_dist_kernel(geo, g1, g2):
 
 
 def _geo_shape_kernel(geo, g1, g2):
-    if not geo.intersects(g1, g2):
-        return "POLYGON EMPTY"
-    rings = geo.intersection_polygons(g1, g2)
-    if not rings:
-        return "POLYGON EMPTY"
-    if len(rings) == 1:
-        return geo.to_wkt(geo.Geom("Polygon", [rings[0]]))
-    return geo.to_wkt(geo.Geom("MultiPolygon", [[r] for r in rings]))
+    return geo.intersects_shape_g(g1, g2)
 
 
 def _geo_area_kernel(geo, g1, g2):
-
-    if not geo.intersects(g1, g2):
-        return -1.0
-    if g1.kind != "Polygon" or g2.kind != "Polygon":
-        return 0.0
-    lng0, lat0 = g1.centroid()
-    p1 = [geo._tm_project(x, y, lng0, lat0) for x, y in g1.data[0]]
-    p2 = [geo._tm_project(x, y, lng0, lat0) for x, y in g2.data[0]]
-    return float(
-        sum(abs(geo._ring_signed_area(r)) for r in geo._clip_rings(p1, p2))
-    )
+    return geo.intersects_area_g(g1, g2)
 
 
 def _register_geo() -> None:
@@ -440,6 +425,8 @@ def _register_geo() -> None:
 
     from linkgraph import geo as _geo
 
+    import math as _math
+
     @pandas_udf(ArrayType(StringType()))
     def _s2_udtf(wkt: pd.Series, meters: pd.Series) -> pd.Series:
         out = []
@@ -447,10 +434,16 @@ def _register_geo() -> None:
             if s is None or (isinstance(s, str) and not s.strip()):
                 out.append([])  # GeoBufferAndConvert2S2CellId.java:57-60
                 continue
-            try:
-                out.append(
-                    _geo.s2_covering_tokens(s, float(m) if m is not None else 0.0)
+            if m is None or (isinstance(m, float) and _math.isnan(m)):
+                # the reference THROWS for an empty distance (:63-66,
+                # before its catch-and-forward-empty block) — a double
+                # NULL arrives through Arrow as NaN, not None
+                raise ValueError(
+                    "geo_buffer_and_convert_2_s2CellId 2nd parameter "
+                    "distance should not empty"
                 )
+            try:
+                out.append(_geo.s2_covering_tokens(s, float(m)))
             except Exception:
                 out.append([])  # :80-86 — forward empty on error
         return pd.Series(out)

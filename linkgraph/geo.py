@@ -461,6 +461,26 @@ def intersects(g1: Geom, g2: Geom) -> bool:
     return False
 
 
+def _interior_point(rings: list[list[Coord]]) -> Coord | None:
+    """A point strictly inside a polygon-with-holes (JTS
+    InteriorPointArea analog): scan a horizontal line between two
+    distinct vertex ys, take the midpoint of an inside span."""
+    ys = sorted({y for ring in rings for (_, y) in ring})
+    for y1, y2 in zip(ys, ys[1:]):
+        ymid = (y1 + y2) / 2
+        xs = []
+        for ring in rings:
+            for (ax, ay), (bx, by) in zip(ring, ring[1:]):
+                if (ay > ymid) != (by > ymid):
+                    xs.append(ax + (ymid - ay) * (bx - ax) / (by - ay))
+        xs.sort()
+        for xa, xb in zip(xs[0::2], xs[1::2]):
+            p = ((xa + xb) / 2, ymid)
+            if _point_in_polygon(p, rings) == 2:
+                return p
+    return None
+
+
 def within(g1: Geom, g2: Geom) -> bool:
     """JTS within (GeoUtils.java:335-337): every point of g1 in g2 and
     g1's interior meets g2's interior. Boundary-only contact is not
@@ -488,11 +508,28 @@ def within(g1: Geom, g2: Geom) -> bool:
         mid = ((a[0] + b[0]) / 2, (a[1] + b[1]) / 2)
         if _point_in_geom(mid, g2) == 0:
             return False
+    if g1.polygons():
+        # a hole of g2 poking into g1's interior (no edge crossing
+        # needed) breaks containment: g1 claims area g2 lacks
+        for poly2 in g2.polygons():
+            for hole in poly2[1:]:
+                for hv in hole[:-1]:
+                    if any(
+                        _point_in_polygon(hv, poly1) == 2 for poly1 in g1.polygons()
+                    ):
+                        return False
+        # strict-interior probe: a TRUE interior point of g1 (vertices,
+        # edge midpoints, and the centroid can all sit on g2's boundary
+        # or in shared holes — e.g. within(g, g) on a polygon whose
+        # centroid falls in its own hole)
+        for poly1 in g1.polygons():
+            ip = _interior_point(poly1)
+            if ip is not None and _point_in_geom(ip, g2) == 2:
+                return True
+        return False
     probes = g1.points() + [
         ((a[0] + b[0]) / 2, (a[1] + b[1]) / 2) for a, b in g1.segments()
     ]
-    if g1.polygons():
-        probes.append(g1.centroid())
     return any(_point_in_geom(p, g2) == 2 for p in probes)
 
 
@@ -743,21 +780,26 @@ def intersection_polygons(g1: Geom, g2: Geom) -> list[list[Coord]]:
     return out
 
 
-def geo_intersects_shape(wkt1: str, wkt2: str) -> str | None:
+def intersects_shape_g(g1: Geom, g2: Geom) -> str:
     """'POLYGON EMPTY' when disjoint else intersection WKT
-    (GeoUtils.java:284-294). Non-areal intersections (touching points,
-    shared edges) return the JTS-style lower-dimension results only as
-    POLYGON EMPTY here (proper-crossing clip)."""
+    (GeoUtils.java:284-294) on parsed Geoms — the single kernel behind
+    both the string wrapper and the Spark pandas UDF. Non-areal
+    intersections (touching points, shared edges) return the JTS-style
+    lower-dimension results only as POLYGON EMPTY here
+    (proper-crossing clip)."""
+    if not intersects(g1, g2):
+        return "POLYGON EMPTY"
+    rings = intersection_polygons(g1, g2)
+    if not rings:
+        return "POLYGON EMPTY"
+    if len(rings) == 1:
+        return to_wkt(Geom("Polygon", [rings[0]]))
+    return to_wkt(Geom("MultiPolygon", [[r] for r in rings]))
+
+
+def geo_intersects_shape(wkt1: str, wkt2: str) -> str | None:
     try:
-        g1, g2 = parse_wkt(wkt1), parse_wkt(wkt2)
-        if not intersects(g1, g2):
-            return "POLYGON EMPTY"
-        rings = intersection_polygons(g1, g2)
-        if not rings:
-            return "POLYGON EMPTY"
-        if len(rings) == 1:
-            return to_wkt(Geom("Polygon", [rings[0]]))
-        return to_wkt(Geom("MultiPolygon", [[r] for r in rings]))
+        return intersects_shape_g(parse_wkt(wkt1), parse_wkt(wkt2))
     except Exception:
         return None
 
@@ -777,22 +819,25 @@ def _tm_project(lng: float, lat: float, lng0: float, lat0: float) -> Coord:
     return (x, y)
 
 
-def geo_intersects_area(wkt1: str, wkt2: str) -> float | None:
+def intersects_area_g(g1: Geom, g2: Geom) -> float:
     """-1.0 disjoint; 0.0 unless both POLYGON; else intersection area in
-    m^2 under a local TM projection (GeoUtils.java:300-327)."""
+    m^2 under a local TM projection (GeoUtils.java:300-327) on parsed
+    Geoms — the single kernel behind both the string wrapper and the
+    Spark pandas UDF. Only the exterior rings reach the clip, so only
+    they are projected."""
+    if not intersects(g1, g2):
+        return -1.0
+    if g1.kind != "Polygon" or g2.kind != "Polygon":
+        return 0.0
+    lng0, lat0 = g1.centroid()
+    p1 = [_tm_project(x, y, lng0, lat0) for x, y in g1.data[0]]
+    p2 = [_tm_project(x, y, lng0, lat0) for x, y in g2.data[0]]
+    return float(sum(abs(_ring_signed_area(r)) for r in _clip_rings(p1, p2)))
+
+
+def geo_intersects_area(wkt1: str, wkt2: str) -> float | None:
     try:
-        g1, g2 = parse_wkt(wkt1), parse_wkt(wkt2)
-        if not intersects(g1, g2):
-            return -1.0
-        if g1.kind != "Polygon" or g2.kind != "Polygon":
-            return 0.0
-        lng0, lat0 = g1.centroid()
-        p1 = [[_tm_project(x, y, lng0, lat0) for x, y in r] for r in g1.data]
-        p2 = [[_tm_project(x, y, lng0, lat0) for x, y in r] for r in g2.data]
-        rings = []
-        for r in _clip_rings(p1[0], p2[0]):
-            rings.append(r)
-        return float(sum(abs(_ring_signed_area(r)) for r in rings))
+        return intersects_area_g(parse_wkt(wkt1), parse_wkt(wkt2))
     except Exception:
         return None
 
@@ -1009,8 +1054,14 @@ def s2_covering_tokens(
     if span / pitch > max_steps:
         pitch = span / max_steps
     ids: set[int] = set()
-    ny = max(2, int(math.ceil((y1 - y0) / pitch)) + 1)
-    nx = max(2, int(math.ceil((x1 - x0) / pitch)) + 1)
+    if buf_deg <= 0 and not g.polygons():
+        # zero-area geometry, no buffer: the grid can essentially never
+        # hit a measure-zero line/point set — skip straight to the
+        # segment walk + vertex cells below
+        ny = nx = 0
+    else:
+        ny = max(2, int(math.ceil((y1 - y0) / pitch)) + 1)
+        nx = max(2, int(math.ceil((x1 - x0) / pitch)) + 1)
     for iy in range(ny):
         lat = y0 + iy * pitch
         if lat > 90 or lat < -90:

@@ -415,3 +415,59 @@ def test_s2_covering_bare_linestring():
         for lng in (116.39, 116.45)
     }
     assert ends <= set(toks)
+
+
+def test_within_self_and_hole_topology():
+    # review regression: within(g, g) on a polygon whose centroid falls
+    # in its own hole (all vertex/midpoint probes sit ON the boundary)
+    w = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    assert G.geo_within(w, w) is True
+    # a hole of g2 poking into g1's interior breaks containment even
+    # with zero edge crossings
+    holed = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))"
+    solid = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert G.geo_within(solid, holed) is False
+    assert G.geo_within(holed, solid) is True
+    # interior-point helper lands strictly inside, outside holes
+    ip = G._interior_point(G.parse_wkt(w).data)
+    assert G._point_in_polygon(ip, G.parse_wkt(w).data) == 2
+
+
+def test_spark_kernels_share_geo_module_logic(spark):
+    # review regression: the pandas-UDF kernels delegate to the same
+    # Geom-level helpers the pure-python surface uses
+    from pyspark.sql import functions as F
+
+    from linkgraph.functions import SCALARS
+
+    sq1 = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    sq2 = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    df = spark.createDataFrame([(sq1, sq2)], "g1 string, g2 string")
+    row = df.select(
+        SCALARS["geo_intersects_shape"](F.col("g1"), F.col("g2")).alias("s"),
+        SCALARS["geo_intersects_area"](F.col("g1"), F.col("g2")).alias("a"),
+    ).first()
+    assert row["s"] == G.geo_intersects_shape(sq1, sq2)
+    assert row["a"] == pytest.approx(G.geo_intersects_area(sq1, sq2))
+
+    # NULL meters must fail loudly (the reference throws before its
+    # catch-and-forward-empty block)
+    from linkgraph import ops
+
+    pts = spark.createDataFrame(
+        [("p1", "POINT (1 1)", None)], "id string, wkt string, meters double"
+    )
+    with pytest.raises(Exception, match="distance should not empty"):
+        ops.linked_expand(
+            pts, "geo_buffer_and_convert_2_s2CellId", F.col("wkt"), F.col("meters")
+        ).collect()
+
+    # randomLong spans negatives (full signed 64-bit, unlike rand*2^62)
+    from linkgraph.functions import SCALARS as S
+
+    vals = [
+        r["r"]
+        for r in spark.range(200).select(S["randomLong"]().alias("r")).collect()
+    ]
+    assert any(v < 0 for v in vals) and any(v > 0 for v in vals)
+    assert len(set(vals)) > 150
