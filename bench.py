@@ -135,9 +135,21 @@ def main() -> None:
             best = min(best or 9e9, time.monotonic() - t0)
         return round(best, 3)
 
+    def membw_canary() -> float | None:
+        """Memory-bandwidth probe (hostmeter.membw_gibs — one shared
+        copy with tools/scaling_bench.py). The codegen canary above is
+        bandwidth-light and stayed unremarkable during a window where
+        co-tenant pressure cut effective copy bandwidth 13x and doubled
+        every superstep time (BENCH/scaling_run5 evidence) — this probe
+        sees exactly that failure mode."""
+        from linkgraph import hostmeter
+
+        return hostmeter.membw_gibs()
+
     edges = bench_edges(spark).persist()
     n_edges = edges.count()
     extras["canary_start_s"] = canary()
+    extras["membw_start_gibs"] = membw_canary()
 
     # untimed JIT/cache warmup: one throwaway superstep-shaped pass
     # (codegen + broadcast paths compile here, not inside the timings)
@@ -214,6 +226,7 @@ def main() -> None:
         return simsearch.brute_force_topk(emb, q, k=10).count()
 
     extras["canary_end_s"] = canary()
+    extras["membw_end_gibs"] = membw_canary()
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     run_steal_total = steal_pct(j_start, cpu_jiffies())

@@ -32,3 +32,28 @@ def steal_pct(
     if dt <= 0:
         return None
     return round(100.0 * (after[0] - before[0]) / dt, 2)
+
+
+def membw_gibs(size_log2: int = 26, repeats: int = 3) -> float | None:
+    """Effective memory-copy bandwidth in GiB/s (best-of-N numpy copy of
+    a 2^size_log2-element int64 array; first-touch pages included).
+    Co-tenant memory-bandwidth exhaustion — the dominant noise source
+    on this host (BENCH/scaling_run5_1v4_degraded_window.json: copies at
+    0.19 GiB/s while steal stayed under 3.5% and every superstep ran
+    2x slow) — is invisible to steal%% but lights up here. None when
+    numpy is unavailable."""
+    try:
+        import time
+
+        import numpy as np
+    except ImportError:
+        return None
+    a = np.random.default_rng(0).integers(0, 255, size=1 << size_log2, dtype=np.int64)
+    gib = (1 << size_log2) * 8 / (1 << 30)
+    best = None
+    for _ in range(max(1, repeats)):
+        t0 = time.monotonic()
+        a.copy()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    return round(gib / best, 2)

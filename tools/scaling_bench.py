@@ -104,14 +104,19 @@ def run_submit(
         "--num-partitions",
         str(cache_partitions),
     ]
-    j0 = _hostmeter().cpu_jiffies()
+    hm = _hostmeter()
+    bw0 = hm.membw_gibs()
+    j0 = hm.cpu_jiffies()
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    j1 = _hostmeter().cpu_jiffies()
+    j1 = hm.cpu_jiffies()
+    bw1 = hm.membw_gibs()
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
             r = json.loads(line)
-            r["cpu_steal_pct"] = _hostmeter().steal_pct(j0, j1)
+            r["cpu_steal_pct"] = hm.steal_pct(j0, j1)
+            r["membw_gibs_before"] = bw0
+            r["membw_gibs_after"] = bw1
             return r
     raise RuntimeError(
         f"no JSON from spark-submit: {out.stdout[-2000:]}\n{out.stderr[-2000:]}"
