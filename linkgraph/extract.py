@@ -106,6 +106,10 @@ def extract_links(html_bytes: bytes, base_url: str) -> list[tuple[str, str]]:
 # Spark operators (Arrow-batched)
 # ---------------------------------------------------------------------------
 
+# the input_hint page-table shape (FIXTURES.md §1): what both the batch
+# jobs and the streaming file source expect
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
 EXTRACTED_SCHEMA = (
     "url string, text string, "
     "links array<struct<href: string, anchor: string>>"

@@ -190,3 +190,29 @@ def test_running_degree_hot_threshold(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["src"] for r in spark.sql("SELECT * FROM rdt_out").collect()}
     assert got == {1}  # only the hot source crosses the threshold
+
+
+def test_streaming_extract_edges_matches_batch(spark, tmp_path):
+    """Incremental crawl ingest: streaming extraction over arriving page
+    files emits exactly the batch extraction's edges (same mapInPandas
+    kernel; byte-identical contract holds on both paths)."""
+    from linkgraph.datagen import write_pages_parquet
+    from linkgraph.extract import extracted_edges
+
+    pages_dir = str(tmp_path / "pages")
+    write_pages_parquet(pages_dir, n=120, seed=11)
+
+    stream = streaming.streaming_extract_edges(
+        spark, pages_dir, max_files_per_trigger=1
+    )
+    assert stream.isStreaming
+    streaming.run_available_now(stream, "stream_edges", output_mode="append")
+    got = {
+        (r["src_url"], r["dst_url"], r["anchor"])
+        for r in spark.sql("SELECT * FROM stream_edges").collect()
+    }
+    batch = {
+        (r["src_url"], r["dst_url"], r["anchor"])
+        for r in extracted_edges(spark.read.parquet(pages_dir)).collect()
+    }
+    assert got == batch and len(got) > 100
