@@ -34,7 +34,10 @@ def steal_pct(
     return round(100.0 * (after[0] - before[0]) / dt, 2)
 
 
-def membw_gibs(size_log2: int = 26, repeats: int = 3) -> float | None:
+_MEMBW_BUF = {}
+
+
+def membw_gibs(size_log2: int = 23, repeats: int = 3) -> float | None:
     """Effective memory-copy bandwidth in GiB/s (best-of-N numpy copy of
     a 2^size_log2-element int64 array; first-touch pages included).
     Co-tenant memory-bandwidth exhaustion — the dominant noise source
@@ -48,7 +51,15 @@ def membw_gibs(size_log2: int = 26, repeats: int = 3) -> float | None:
         import numpy as np
     except ImportError:
         return None
-    a = np.random.default_rng(0).integers(0, 255, size=1 << size_log2, dtype=np.int64)
+    # the source buffer is generated once per process and reused:
+    # allocation/first-touch itself runs at single-digit MiB/s in the
+    # degraded windows this probe exists to detect (measured ~30 s for
+    # 128 MiB), and the probe must stay cheap enough to run twice per
+    # bench; 64 MiB keeps even the first call bounded
+    a = _MEMBW_BUF.get(size_log2)
+    if a is None:
+        a = np.arange(1 << size_log2, dtype=np.int64)
+        _MEMBW_BUF[size_log2] = a
     gib = (1 << size_log2) * 8 / (1 << 30)
     best = None
     for _ in range(max(1, repeats)):
