@@ -27,8 +27,15 @@ def personalized_pagerank(
     max_iter: int = 100,
     num_partitions: int | None = None,
     broadcast_state: bool | None = None,
+    init_scores: DataFrame | None = None,
 ) -> pregel.PregelResult:
-    """Returns state (vid, score); scores sum to 1 over the graph."""
+    """Returns state (vid, score); scores sum to 1 over the graph.
+
+    ``init_scores`` (vid, score) warm-starts the power iteration from a
+    previous converged state (the incremental-crawl path, as in
+    pagerank.py) — the damped fixed point (I - dA^T)x = (1-d)s is
+    unique, so the result is unchanged; the seed vector renormalizes to
+    sum 1 and unknown vertices start at 0 (the PPR prior)."""
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -61,15 +68,34 @@ def personalized_pagerank(
         F.count(F.lit(1)).cast("double").alias("out_degree")
     )
     seed_col = F.when(F.col("vid").isin(seed_list), 1.0 / ns).otherwise(0.0)
-    init = (
-        verts.join(deg, "vid", "left")
-        .select(
+    base_state = verts.join(deg, "vid", "left")
+    if init_scores is not None:
+        prior = init_scores.select("vid", F.col("score").alias("_prior"))
+        seeded = base_state.join(prior, "vid", "left").select(
+            "vid",
+            F.coalesce("_prior", F.lit(0.0)).alias("score"),
+            F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
+        )
+        total = seeded.agg(F.sum("score")).collect()[0][0]
+        if total and total > 0:
+            init = seeded.select(
+                "vid",
+                (F.col("score") / F.lit(float(total))).alias("score"),
+                "out_degree",
+            )
+        else:  # empty/zero prior: fall back to the seed vector
+            init = base_state.select(
+                "vid",
+                seed_col.alias("score"),
+                F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
+            )
+    else:
+        init = base_state.select(
             "vid",
             seed_col.alias("score"),
             F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
         )
-        .repartition(num_partitions, "vid")
-    )
+    init = init.repartition(num_partitions, "vid")
 
     def superstep(edges_df: DataFrame, state: DataFrame, i: int) -> DataFrame:
         dangling = (

@@ -36,8 +36,13 @@ def weighted_pagerank(
     tol: float | None = None,
     num_partitions: int | None = None,
     broadcast_state: bool | None = None,
+    init_scores: DataFrame | None = None,
 ) -> pregel.PregelResult:
     """Returns state (vid, score), scores summing to 1.
+
+    ``init_scores`` (vid, score) warm-starts from a previous converged
+    state (incremental host-graph re-ranking, as in pagerank.py); new
+    vertices get the uniform prior and the seed renormalizes to sum 1.
 
     ``normalize.host_graph`` output plugs in directly:
     ``weighted_pagerank(hg, src_col="src_host", dst_col="dst_host")``.
@@ -97,11 +102,26 @@ def weighted_pagerank(
         )
         return pregel.PregelResult(state=empty, iterations=0, converged=True, metrics=[])
     has_out = tot.select(F.col("src").alias("vid")).distinct()
-    state = verts.join(has_out.withColumn("__o__", F.lit(1.0)), "vid", "left").select(
-        "vid",
-        F.lit(1.0 / n).alias("score"),
-        F.coalesce("__o__", F.lit(0.0)).alias("has_out"),
-    ).localCheckpoint(eager=True)
+    base_state = verts.join(has_out.withColumn("__o__", F.lit(1.0)), "vid", "left")
+    if init_scores is not None:
+        prior = init_scores.select("vid", F.col("score").alias("_prior"))
+        seeded = base_state.join(prior, "vid", "left").select(
+            "vid",
+            F.coalesce("_prior", F.lit(1.0 / n)).alias("score"),
+            F.coalesce("__o__", F.lit(0.0)).alias("has_out"),
+        )
+        total = seeded.agg(F.sum("score")).collect()[0][0] or 1.0
+        state = seeded.select(
+            "vid",
+            (F.col("score") / F.lit(float(total))).alias("score"),
+            "has_out",
+        ).localCheckpoint(eager=True)
+    else:
+        state = base_state.select(
+            "vid",
+            F.lit(1.0 / n).alias("score"),
+            F.coalesce("__o__", F.lit(0.0)).alias("has_out"),
+        ).localCheckpoint(eager=True)
 
     metrics: list[dict] = []
     it = 0

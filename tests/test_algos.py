@@ -378,3 +378,30 @@ def test_pagerank_warm_start_incremental(spark):
     n2 = {r["vid"]: r["score"] for r in noop.state.collect()}
     for vid in c:
         assert abs(c[vid] - n2[vid]) < 1e-9, vid
+
+
+def test_ppr_and_wpagerank_warm_start(spark, tiny_edges):
+    """init_scores warm start on the seeded/weighted variants: the fixed
+    point is unique, so re-seeding with the converged state returns the
+    same scores in <= 2 supersteps."""
+    from linkgraph.algos.ppr import personalized_pagerank
+    from linkgraph.algos.wpagerank import weighted_pagerank
+
+    cold = personalized_pagerank(tiny_edges, seeds=[0], tol=1e-10)
+    warm = personalized_pagerank(
+        tiny_edges, seeds=[0], tol=1e-10, init_scores=cold.state
+    )
+    assert warm.iterations <= 2 < cold.iterations
+    c = {r["vid"]: r["score"] for r in cold.state.collect()}
+    w = {r["vid"]: r["score"] for r in warm.state.collect()}
+    assert all(abs(c[v] - w[v]) < 1e-9 for v in c)
+
+    from pyspark.sql import functions as F
+
+    we = tiny_edges.withColumn("weight", (F.col("src") + F.col("dst") + 1).cast("double"))
+    coldw = weighted_pagerank(we, tol=1e-10, max_iter=100)
+    warmw = weighted_pagerank(we, tol=1e-10, max_iter=100, init_scores=coldw.state)
+    assert warmw.iterations <= 2 < coldw.iterations
+    cw = {r["vid"]: r["score"] for r in coldw.state.collect()}
+    ww = {r["vid"]: r["score"] for r in warmw.state.collect()}
+    assert all(abs(cw[v] - ww[v]) < 1e-9 for v in cw)
