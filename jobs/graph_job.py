@@ -34,6 +34,10 @@ def main() -> None:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--k", type=int, default=3, help="k for kcore")
     p.add_argument("--seeds", default=None, help="comma vids for ppr")
+    p.add_argument("--init-scores", default=None,
+                   help="parquet of (vid, score) from a previous converged "
+                        "run: warm-starts pagerank/wpagerank/ppr so an "
+                        "incremental crawl delta re-ranks in a few supersteps")
     args = p.parse_args()
     if args.iters is None:
         args.iters = {"kcore": 30, "walks": 10}.get(args.algo, 20)
@@ -69,9 +73,13 @@ def main() -> None:
         else:
             info["rows"] = tl.count()
     else:
+        init_scores = (
+            spark.read.parquet(args.init_scores) if args.init_scores else None
+        )
         if args.algo == "pagerank":
             res = pagerank(edges, tol=args.tol,
-                           checkpoint_dir=args.checkpoint_dir, max_iter=args.iters)
+                           checkpoint_dir=args.checkpoint_dir, max_iter=args.iters,
+                           init_scores=init_scores)
         elif args.algo == "cc":
             res = connected_components(edges, checkpoint_dir=args.checkpoint_dir,
                                        max_iter=args.iters)
@@ -93,11 +101,13 @@ def main() -> None:
                     "wpagerank needs a 'weight' column in the edge table "
                     f"(found: {edges.columns})"
                 )
-            res = weighted_pagerank(edges, max_iter=args.iters, tol=args.tol)
+            res = weighted_pagerank(edges, max_iter=args.iters, tol=args.tol,
+                                    init_scores=init_scores)
         elif args.algo == "ppr":
             seeds = [int(x) for x in (args.seeds or "").split(",") if x != ""]
             res = personalized_pagerank(edges, seeds, tol=args.tol,
-                                        max_iter=args.iters)
+                                        max_iter=args.iters,
+                                        init_scores=init_scores)
         elif args.algo == "walks":
             from linkgraph.pregel import PregelResult
 
