@@ -35,9 +35,12 @@ def main() -> None:
     p.add_argument("--k", type=int, default=3, help="k for kcore")
     p.add_argument("--seeds", default=None, help="comma vids for ppr")
     p.add_argument("--init-scores", default=None,
-                   help="parquet of (vid, score) from a previous converged "
-                        "run: warm-starts pagerank/wpagerank/ppr so an "
-                        "incremental crawl delta re-ranks in a few supersteps")
+                   help="parquet of a previous converged run's state "
+                        "((vid, score) for pagerank/wpagerank/ppr, "
+                        "(vid, component) for cc, (vid, hub, auth) for "
+                        "hits): warm-starts the iteration so an "
+                        "incremental crawl delta converges in a few "
+                        "supersteps")
     args = p.parse_args()
     if args.iters is None:
         args.iters = {"kcore": 30, "walks": 10}.get(args.algo, 20)
@@ -82,14 +85,16 @@ def main() -> None:
                            init_scores=init_scores)
         elif args.algo == "cc":
             res = connected_components(edges, checkpoint_dir=args.checkpoint_dir,
-                                       max_iter=args.iters)
+                                       max_iter=args.iters,
+                                       init_labels=init_scores)
         elif args.algo == "cc-two-phase":
             res = connected_components(edges, algorithm="two-phase",
                                        checkpoint_dir=args.checkpoint_dir,
                                        max_iter=args.iters)
         elif args.algo == "hits":
             res = hits(edges, max_iter=args.iters, tol=args.tol,
-                       checkpoint_dir=args.checkpoint_dir)
+                       checkpoint_dir=args.checkpoint_dir,
+                       init_state=init_scores)
         elif args.algo == "kcore":
             res = k_core(edges, k=args.k, max_iter=args.iters,
                          checkpoint_dir=args.checkpoint_dir)

@@ -45,8 +45,17 @@ def connected_components(
     job_id: str = "cc",
     checkpoint_every: int = 5,
     resume: bool = True,
+    init_labels: DataFrame | None = None,
 ) -> pregel.PregelResult:
     """Returns state (vid, component) with component = min member vid.
+
+    ``init_labels`` (vid, component) warm-starts hash-min from a
+    previous run's labels — the incremental-crawl path: old labels are
+    min-vids of old components, old components are subsets of new ones
+    and their min vids are still members, so min-propagation from the
+    old labels converges to exactly the same canonical min-member-vid
+    labeling (tested equal), in fewer rounds when the delta only merges
+    a few components. New vertices start at their own vid as usual.
 
     Same physical strategy as pagerank (see docs/PLANS.md): the
     undirected edge frame is cached hash-partitioned by ``dst``; with a
@@ -74,9 +83,19 @@ def connected_components(
 
     part_key = "dst" if broadcast_state else "src"
     und = _undirected(edges).repartition(num_partitions, part_key).persist()
-    init = verts.select("vid", F.col("vid").alias("component")).repartition(
-        num_partitions, "vid"
-    )
+    if init_labels is not None:
+        prior = init_labels.select("vid", F.col("component").alias("_prior"))
+        init = verts.join(prior, "vid", "left").select(
+            "vid",
+            # never seed ABOVE the vid: min(prior, vid) keeps the
+            # invariant that labels are component-member vids
+            F.least(F.coalesce("_prior", F.col("vid")), F.col("vid")).alias(
+                "component"
+            ),
+        )
+    else:
+        init = verts.select("vid", F.col("vid").alias("component"))
+    init = init.repartition(num_partitions, "vid")
 
     def superstep(edges_df: DataFrame, state: DataFrame, i: int) -> DataFrame:
         s = F.broadcast(state) if broadcast_state else state

@@ -60,10 +60,19 @@ def hits(
     checkpoint_every: int = 5,
     resume: bool = True,
     broadcast_state: bool | None = None,
+    init_state: DataFrame | None = None,
 ) -> pregel.PregelResult:
     """Returns state (vid, hub, auth), L2-normalized per iteration.
     ``checkpoint_dir`` enables commit-markered durable checkpoints of
-    the (vid, hub, auth) state with cross-run resume."""
+    the (vid, hub, auth) state with cross-run resume.
+
+    ``init_state`` (vid, hub, auth) warm-starts the power iteration from
+    a previous converged state (incremental-crawl path, as in
+    pagerank.py); new vertices get the uniform 1.0/1.0 prior. Each
+    iteration L2-normalizes, so no renormalization is needed and the
+    dominant-eigenvector fixed point is unchanged. Ignored when a
+    checkpoint resume for this job_id exists (resume wins — it is the
+    same run continuing)."""
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -89,9 +98,19 @@ def hits(
             .distinct()
             .repartition(num_partitions, "vid")
         )
-        state = verts.select(
-            "vid", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
-        ).localCheckpoint(eager=True)
+        if init_state is not None:
+            prior = init_state.select(
+                "vid", F.col("hub").alias("_h"), F.col("auth").alias("_a")
+            )
+            state = verts.join(prior, "vid", "left").select(
+                "vid",
+                F.coalesce("_h", F.lit(1.0)).alias("hub"),
+                F.coalesce("_a", F.lit(1.0)).alias("auth"),
+            ).localCheckpoint(eager=True)
+        else:
+            state = verts.select(
+                "vid", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+            ).localCheckpoint(eager=True)
     if broadcast_state is None:
         # state is localCheckpoint-materialized: this count is a cheap scan
         broadcast_state = state.count() <= BROADCAST_STATE_MAX_VERTICES

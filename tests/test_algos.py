@@ -405,3 +405,41 @@ def test_ppr_and_wpagerank_warm_start(spark, tiny_edges):
     cw = {r["vid"]: r["score"] for r in coldw.state.collect()}
     ww = {r["vid"]: r["score"] for r in warmw.state.collect()}
     assert all(abs(cw[v] - ww[v]) < 1e-9 for v in cw)
+
+
+def test_cc_warm_start_incremental(spark):
+    """init_labels warm start: labels from a previous run (min-vids of
+    old components, still members of the merged components) converge to
+    the identical canonical labeling, in fewer rounds on a crawl delta
+    that merges two long chains."""
+    # two long chains (slow mixing for hash-min) plus singletons
+    chain1 = [(i, i + 1) for i in range(0, 30)]
+    chain2 = [(i, i + 1) for i in range(40, 70)]
+    base = spark.createDataFrame(chain1 + chain2, "src bigint, dst bigint")
+    cold0 = connected_components(base, max_iter=100)
+    # delta merges the chains
+    grown = base.unionAll(spark.createDataFrame([(30, 40)], "src bigint, dst bigint"))
+    cold = connected_components(grown, max_iter=100)
+    warm = connected_components(grown, max_iter=100, init_labels=cold0.state)
+    c = {r["vid"]: r["component"] for r in cold.state.collect()}
+    w = {r["vid"]: r["component"] for r in warm.state.collect()}
+    assert c == w
+    assert set(c.values()) == {0}  # fully merged, canonical min vid
+    assert warm.iterations < cold.iterations
+    # re-seeding with the final labels converges immediately
+    noop = connected_components(grown, max_iter=100, init_labels=cold.state)
+    assert noop.iterations <= 2
+    assert {r["vid"]: r["component"] for r in noop.state.collect()} == c
+
+
+def test_hits_warm_start(spark, tiny_edges):
+    from linkgraph.algos.hits import hits
+
+    cold = hits(tiny_edges, tol=1e-10, max_iter=100)
+    warm = hits(tiny_edges, tol=1e-10, max_iter=100, init_state=cold.state)
+    assert warm.iterations <= 2 < cold.iterations
+    c = {r["vid"]: (r["hub"], r["auth"]) for r in cold.state.collect()}
+    w = {r["vid"]: (r["hub"], r["auth"]) for r in warm.state.collect()}
+    assert all(
+        abs(c[v][0] - w[v][0]) < 1e-8 and abs(c[v][1] - w[v][1]) < 1e-8 for v in c
+    )
