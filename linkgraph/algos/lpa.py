@@ -40,6 +40,12 @@ def label_propagation(
     (bounded by distinct neighbor labels, map-side combined) exchange
     for the per-vertex argmax — the honest plan at any scale, since the
     argmax re-keys from (dst, label) to dst regardless.
+
+    No ``init_labels`` warm start here deliberately: unlike
+    pagerank/cc, synchronous LPA's result DEPENDS on the initial
+    labeling (min tie-breaks propagate from it), so seeding with old
+    labels would silently change the answer on a grown graph rather
+    than just the iteration count.
     """
     spark = edges.sparkSession
     num_partitions = spark.sparkContext.defaultParallelism
