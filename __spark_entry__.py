@@ -1269,6 +1269,37 @@ def _x_geo_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_trans_count_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trans_count_by_day registry AGGREGATE (TransCountByDay.java:
+    34-111 — day-bucketed threshold counting with large/small ops), vs a
+    per-day-counts CTE oracle. Session + DuckDB both run UTC."""
+    from linkgraph.functions import AGGREGATES
+
+    ev = load_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: route through TIMESTAMP (session tz = UTC)
+    # to get epoch seconds
+    sec = F.col("ts").cast("timestamp").cast("long")
+    return ev.groupBy("user_id").agg(
+        AGGREGATES["trans_count_by_day"](sec, "s", 5, "large").alias("busy_days"),
+        AGGREGATES["trans_count_by_day"](sec, "s", 3, "small").alias("quiet_days"),
+    )
+
+
+def _x_slice_sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order_edge_and_slice_sum registry AGGREGATE
+    (OrderEdgeAndSliceAgg.java:31-92 — sort desc, take 2, sum), vs a
+    row_number window oracle."""
+    from linkgraph.functions import AGGREGATES
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.round(
+            AGGREGATES["order_edge_and_slice_sum"](F.col("o_totalprice"), "desc", 2),
+            2,
+        ).alias("top2_sum")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness sweep records only the
     # FIRST 50 entries. Queries that have never had a driver-recorded
@@ -1280,6 +1311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x_geo_distance": _x_geo_distance,
         "x_geo_within": _x_geo_within,
+        "x_trans_count_by_day": _x_trans_count_by_day,
+        "x_slice_sum_agg": _x_slice_sum_agg,
         "d_near_dedup": _d_near_dedup,
         "c2_concept_rule_file": _c2_concept_rule_file,
         "d_simhash_pairs": _d_simhash_pairs,
@@ -2003,6 +2036,32 @@ def oracle_sql() -> dict[str, str]:
                    lng1 >= -50 AND lng1 <= 50 AND lat1 >= -20 AND lat1 <= 20
                      AS touches_rect
             FROM pts
+        """,
+        # TransCountByDay parity: per-day counts, then day counts vs the
+        # strict large/small thresholds (judgeThreshold semantics)
+        "x_trans_count_by_day": """
+            WITH perday AS (
+                SELECT user_id, strftime(ts, '%Y%m%d') AS d,
+                       count(*) AS cnt
+                FROM events GROUP BY user_id, d
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN cnt > 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS busy_days,
+                   CAST(sum(CASE WHEN cnt < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS quiet_days
+            FROM perday GROUP BY user_id
+        """,
+        "x_slice_sum_agg": """
+            WITH ranked AS (
+                SELECT o_custkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey ORDER BY o_totalprice DESC
+                       ) AS rn
+                FROM orders
+            )
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS top2_sum
+            FROM ranked WHERE rn <= 2 GROUP BY o_custkey
         """,
         "q1_agg": """
 SELECT l_returnflag, l_linestatus,
