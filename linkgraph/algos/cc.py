@@ -84,7 +84,20 @@ def connected_components(
     part_key = "dst" if broadcast_state else "src"
     und = _undirected(edges).repartition(num_partitions, part_key).persist()
     if init_labels is not None:
-        prior = init_labels.select("vid", F.col("component").alias("_prior"))
+        # warm start is only SOUND for edge-additive deltas (old
+        # components are subsets of new ones). Guard the two ways a
+        # stale prior can poison hash-min (labels only ever decrease,
+        # so a too-small seed is never corrected):
+        #  1) a prior label naming a vid that no longer exists — drop
+        #     it here (seed falls back to the vertex's own vid);
+        #  2) a prior label from a component that has since SPLIT —
+        #     not detectable at seed time; caught by the post-hoc
+        #     validation below, which falls back to a cold run.
+        label_vids = verts.select(F.col("vid").alias("_lv"))
+        prior = (
+            init_labels.select("vid", F.col("component").alias("_prior"))
+            .join(label_vids, F.col("_prior") == F.col("_lv"), "left_semi")
+        )
         init = verts.join(prior, "vid", "left").select(
             "vid",
             # never seed ABOVE the vid: min(prior, vid) keeps the
@@ -117,7 +130,7 @@ def connected_components(
         return pregel.changed_count(old, new, "vid", "component")
 
     try:
-        return pregel.run_pregel(
+        res = pregel.run_pregel(
             und,
             init,
             superstep,
@@ -129,6 +142,40 @@ def connected_components(
             checkpoint_every=checkpoint_every,
             resume=resume,
         )
+        if init_labels is not None and res.converged:
+            # post-hoc soundness check (one O(V) agg): after min-
+            # propagation every component carries ONE label = min of
+            # its seeds; it equals min(member vid) iff no stale seed
+            # leaked in (a split delta leaks one). On violation, the
+            # warm start was invalid — rerun cold rather than return
+            # labels that break the min-member-vid contract.
+            bad = (
+                res.state.groupBy("component")
+                .agg(F.min("vid").alias("_mv"))
+                .where(F.col("component") != F.col("_mv"))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                import warnings
+
+                warnings.warn(
+                    "cc init_labels came from a non-additive delta "
+                    "(a component split); falling back to a cold run"
+                )
+                return connected_components(
+                    edges,
+                    vertices=vertices,
+                    max_iter=max_iter,
+                    algorithm=algorithm,
+                    broadcast_state=broadcast_state,
+                    num_partitions=num_partitions,
+                    checkpoint_dir=checkpoint_dir,
+                    job_id=job_id + "_cold",
+                    checkpoint_every=checkpoint_every,
+                    resume=resume,
+                )
+        return res
     finally:
         verts.unpersist()
         und.unpersist()

@@ -443,3 +443,24 @@ def test_hits_warm_start(spark, tiny_edges):
     assert all(
         abs(c[v][0] - w[v][0]) < 1e-8 and abs(c[v][1] - w[v][1]) < 1e-8 for v in c
     )
+
+
+def test_cc_warm_start_guards_non_additive_deltas(spark):
+    """Stale priors must never poison hash-min: labels naming dropped
+    vids are discarded at seed time, and a component SPLIT (detected
+    post-hoc: final label != min member vid) falls back to a cold run."""
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    labels0 = connected_components(base, max_iter=50).state
+    # dropped-vertex delta: vertex 1 disappears; old labels say 1
+    no_v1 = spark.createDataFrame([(2, 3), (10, 11)], "src bigint, dst bigint")
+    w1 = connected_components(no_v1, max_iter=50, init_labels=labels0)
+    got1 = {r["vid"]: r["component"] for r in w1.state.collect()}
+    assert got1 == {2: 2, 3: 2, 10: 10, 11: 10}
+    # split delta: {1,2,3} loses the 2-3 edge but vid 1 still exists;
+    # vertex 3's stale prior (1) is a live vid in ANOTHER component
+    split = spark.createDataFrame([(1, 2), (3, 4), (10, 11)], "src bigint, dst bigint")
+    w2 = connected_components(split, max_iter=50, init_labels=labels0)
+    got2 = {r["vid"]: r["component"] for r in w2.state.collect()}
+    assert got2 == {1: 1, 2: 1, 3: 3, 4: 3, 10: 10, 11: 10}
