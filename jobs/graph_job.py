@@ -41,7 +41,28 @@ def main() -> None:
                         "hits): warm-starts the iteration so an "
                         "incremental crawl delta converges in a few "
                         "supersteps")
+    p.add_argument("--prior-edges", default=None,
+                   help="(cc only, required with --init-scores) parquet of "
+                        "the edge table the init labels were computed over; "
+                        "used to verify the delta is edge-additive before "
+                        "warm-starting (a removed edge splits components "
+                        "and invalidates the labels)")
     args = p.parse_args()
+    _WARMSTART_ALGOS = {"pagerank", "wpagerank", "ppr", "cc", "hits"}
+    if args.init_scores and args.algo not in _WARMSTART_ALGOS:
+        raise SystemExit(
+            f"--init-scores is not supported by {args.algo} "
+            f"(warm-startable algos: {sorted(_WARMSTART_ALGOS)}); "
+            "refusing to silently run cold"
+        )
+    if args.algo == "cc" and args.init_scores and not args.prior_edges:
+        raise SystemExit(
+            "cc --init-scores needs --prior-edges (the edge parquet the "
+            "labels came from) so the warm start can verify the delta is "
+            "edge-additive; without it a component split would go undetected"
+        )
+    if args.prior_edges and not (args.algo == "cc" and args.init_scores):
+        raise SystemExit("--prior-edges only applies to cc with --init-scores")
     if args.iters is None:
         args.iters = {"kcore": 30, "walks": 10}.get(args.algo, 20)
     if args.checkpoint_dir and args.algo in ("wpagerank", "ppr", "walks"):
@@ -79,6 +100,9 @@ def main() -> None:
         init_scores = (
             spark.read.parquet(args.init_scores) if args.init_scores else None
         )
+        prior_edges = (
+            spark.read.parquet(args.prior_edges) if args.prior_edges else None
+        )
         if args.algo == "pagerank":
             res = pagerank(edges, tol=args.tol,
                            checkpoint_dir=args.checkpoint_dir, max_iter=args.iters,
@@ -86,7 +110,8 @@ def main() -> None:
         elif args.algo == "cc":
             res = connected_components(edges, checkpoint_dir=args.checkpoint_dir,
                                        max_iter=args.iters,
-                                       init_labels=init_scores)
+                                       init_labels=init_scores,
+                                       prior_edges=prior_edges)
         elif args.algo == "cc-two-phase":
             res = connected_components(edges, algorithm="two-phase",
                                        checkpoint_dir=args.checkpoint_dir,

@@ -46,6 +46,8 @@ def connected_components(
     checkpoint_every: int = 5,
     resume: bool = True,
     init_labels: DataFrame | None = None,
+    prior_edges: DataFrame | None = None,
+    assume_additive: bool = False,
 ) -> pregel.PregelResult:
     """Returns state (vid, component) with component = min member vid.
 
@@ -56,6 +58,28 @@ def connected_components(
     old labels converges to exactly the same canonical min-member-vid
     labeling (tested equal), in fewer rounds when the delta only merges
     a few components. New vertices start at their own vid as usual.
+
+    Warm start is sound ONLY for edge-additive deltas (old edges ⊆ new
+    edges ⇒ old components ⊆ new components).  A non-additive delta (a
+    removed edge can SPLIT a component) cannot be detected from the
+    labels: hash-min labels only ever decrease, so a stale seed that
+    glues two now-separate components produces a final labeling that is
+    internally consistent (constant per label-group, label = min member
+    vid) and no label-side post-hoc check can reject it.  The guard is
+    therefore a PRECONDITION check, validated BEFORE any superstep runs
+    (so no checkpoint written under ``job_id`` can ever hold poisoned
+    labels):
+
+      * ``prior_edges`` — the edge frame the ``init_labels`` run was
+        computed over.  One undirected-canonical anti-join (O(|E_old|),
+        short-circuited by limit(1)) proves old ⊆ new; on violation the
+        warm start is discarded with a warning and the run proceeds
+        COLD under the same ``job_id``.
+      * ``assume_additive=True`` — the caller certifies additivity
+        (e.g. an append-only crawl frontier) and skips the join.
+
+    Passing ``init_labels`` with neither raises ``ValueError`` — there
+    is no sound way to validate the seed after the fact.
 
     Same physical strategy as pagerank (see docs/PLANS.md): the
     undirected edge frame is cached hash-partitioned by ``dst``; with a
@@ -72,6 +96,42 @@ def connected_components(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
+    if init_labels is not None:
+        if prior_edges is not None:
+            # precondition: every old undirected edge survives into the
+            # new graph.  Canonical (min,max) form so direction flips
+            # don't count as removals; limit(1) short-circuits the scan.
+            def _canon(e: DataFrame) -> DataFrame:
+                return e.select(
+                    F.least("src", "dst").alias("_u"),
+                    F.greatest("src", "dst").alias("_v"),
+                )
+
+            removed = (
+                _canon(prior_edges)
+                .join(_canon(edges), ["_u", "_v"], "left_anti")
+                .limit(1)
+                .count()
+            )
+            if removed:
+                import warnings
+
+                warnings.warn(
+                    "cc init_labels rejected: the delta is non-additive "
+                    "(at least one prior edge is gone, so a component may "
+                    "have split); running cold instead"
+                )
+                init_labels = None
+        elif not assume_additive:
+            raise ValueError(
+                "connected_components(init_labels=...) needs either "
+                "prior_edges (the edge frame the labels were computed "
+                "over, to verify the delta is edge-additive) or "
+                "assume_additive=True (caller certifies an append-only "
+                "delta). A split caused by a removed edge cannot be "
+                "detected from the labels after the fact."
+            )
+
     if vertices is None:
         verts = _undirected(edges).select(F.col("src").alias("vid")).distinct()
     else:
@@ -84,15 +144,12 @@ def connected_components(
     part_key = "dst" if broadcast_state else "src"
     und = _undirected(edges).repartition(num_partitions, part_key).persist()
     if init_labels is not None:
-        # warm start is only SOUND for edge-additive deltas (old
-        # components are subsets of new ones). Guard the two ways a
-        # stale prior can poison hash-min (labels only ever decrease,
-        # so a too-small seed is never corrected):
-        #  1) a prior label naming a vid that no longer exists — drop
-        #     it here (seed falls back to the vertex's own vid);
-        #  2) a prior label from a component that has since SPLIT —
-        #     not detectable at seed time; caught by the post-hoc
-        #     validation below, which falls back to a cold run.
+        # additivity already established above (prior_edges subset
+        # check or caller's assume_additive certificate).  One residual
+        # hygiene filter: a prior label naming a vid absent from the
+        # new graph (labels computed over a superset vertex set) would
+        # seed a component id that is not a member vid — drop it; the
+        # vertex falls back to its own vid.
         label_vids = verts.select(F.col("vid").alias("_lv"))
         prior = (
             init_labels.select("vid", F.col("component").alias("_prior"))
@@ -130,7 +187,7 @@ def connected_components(
         return pregel.changed_count(old, new, "vid", "component")
 
     try:
-        res = pregel.run_pregel(
+        return pregel.run_pregel(
             und,
             init,
             superstep,
@@ -142,40 +199,6 @@ def connected_components(
             checkpoint_every=checkpoint_every,
             resume=resume,
         )
-        if init_labels is not None and res.converged:
-            # post-hoc soundness check (one O(V) agg): after min-
-            # propagation every component carries ONE label = min of
-            # its seeds; it equals min(member vid) iff no stale seed
-            # leaked in (a split delta leaks one). On violation, the
-            # warm start was invalid — rerun cold rather than return
-            # labels that break the min-member-vid contract.
-            bad = (
-                res.state.groupBy("component")
-                .agg(F.min("vid").alias("_mv"))
-                .where(F.col("component") != F.col("_mv"))
-                .limit(1)
-                .count()
-            )
-            if bad:
-                import warnings
-
-                warnings.warn(
-                    "cc init_labels came from a non-additive delta "
-                    "(a component split); falling back to a cold run"
-                )
-                return connected_components(
-                    edges,
-                    vertices=vertices,
-                    max_iter=max_iter,
-                    algorithm=algorithm,
-                    broadcast_state=broadcast_state,
-                    num_partitions=num_partitions,
-                    checkpoint_dir=checkpoint_dir,
-                    job_id=job_id + "_cold",
-                    checkpoint_every=checkpoint_every,
-                    resume=resume,
-                )
-        return res
     finally:
         verts.unpersist()
         und.unpersist()

@@ -119,10 +119,19 @@ def pagerank(
             F.coalesce("_prior", F.lit(1.0 / n)).alias("score"),
             F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
         )
-        total = seeded.agg(F.sum("score")).collect()[0][0] or 1.0
-        init = seeded.select(
-            "vid", (F.col("score") / F.lit(float(total))).alias("score"), "out_degree"
-        )
+        total = seeded.agg(F.sum("score")).collect()[0][0]
+        if total and total > 0:
+            init = seeded.select(
+                "vid",
+                (F.col("score") / F.lit(float(total))).alias("score"),
+                "out_degree",
+            )
+        else:  # empty/zero prior: fall back to the uniform init (as ppr does)
+            init = base_state.select(
+                "vid",
+                F.lit(1.0 / n).alias("score"),
+                F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
+            )
     else:
         init = base_state.select(
             "vid",

@@ -110,12 +110,19 @@ def weighted_pagerank(
             F.coalesce("_prior", F.lit(1.0 / n)).alias("score"),
             F.coalesce("__o__", F.lit(0.0)).alias("has_out"),
         )
-        total = seeded.agg(F.sum("score")).collect()[0][0] or 1.0
-        state = seeded.select(
-            "vid",
-            (F.col("score") / F.lit(float(total))).alias("score"),
-            "has_out",
-        ).localCheckpoint(eager=True)
+        total = seeded.agg(F.sum("score")).collect()[0][0]
+        if total and total > 0:
+            state = seeded.select(
+                "vid",
+                (F.col("score") / F.lit(float(total))).alias("score"),
+                "has_out",
+            ).localCheckpoint(eager=True)
+        else:  # empty/zero prior: fall back to the uniform init (as ppr does)
+            state = base_state.select(
+                "vid",
+                F.lit(1.0 / n).alias("score"),
+                F.coalesce("__o__", F.lit(0.0)).alias("has_out"),
+            ).localCheckpoint(eager=True)
     else:
         state = base_state.select(
             "vid",

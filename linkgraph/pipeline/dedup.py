@@ -409,9 +409,17 @@ def hamming_pairs(
         cand = cand.unionByName(anchored)
     cand = cand.dropDuplicates(["a", "b"])
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.select("a", "b", hamming.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    out = (
+        cand.select("a", "b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        # materialize the (small) verified pair set so the cached
+        # (id, hash) frame can be released now instead of leaking for
+        # the session lifetime — text/image/audio call sites each
+        # invoke this once per corpus
+        .localCheckpoint(eager=True)
     )
+    sims.unpersist()
+    return out
 
 
 def ngram_jaccard(

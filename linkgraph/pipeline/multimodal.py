@@ -129,7 +129,11 @@ def decode_image_bytes(blob: bytes) -> dict:
     if blob.startswith(b"\xff\xd8"):
         try:
             px = decode_image_pixels(blob)
-        except (NotImplementedError, ValueError):
+        except NotImplementedError:
+            # unsupported coding process (progressive/arithmetic):
+            # degrade to the SOF header walk — real dims, null stats.
+            # Genuine corruption (ValueError) propagates so the
+            # caller's on_error policy applies.
             meta = _jpeg_header_dims(blob)
             if meta is not None:
                 return meta

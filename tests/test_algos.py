@@ -420,14 +420,23 @@ def test_cc_warm_start_incremental(spark):
     # delta merges the chains
     grown = base.unionAll(spark.createDataFrame([(30, 40)], "src bigint, dst bigint"))
     cold = connected_components(grown, max_iter=100)
-    warm = connected_components(grown, max_iter=100, init_labels=cold0.state)
+    warm = connected_components(
+        grown, max_iter=100, init_labels=cold0.state, prior_edges=base
+    )
     c = {r["vid"]: r["component"] for r in cold.state.collect()}
     w = {r["vid"]: r["component"] for r in warm.state.collect()}
     assert c == w
     assert set(c.values()) == {0}  # fully merged, canonical min vid
     assert warm.iterations < cold.iterations
+    # assume_additive certifies the delta without the prior edge frame
+    warm2 = connected_components(
+        grown, max_iter=100, init_labels=cold0.state, assume_additive=True
+    )
+    assert {r["vid"]: r["component"] for r in warm2.state.collect()} == c
     # re-seeding with the final labels converges immediately
-    noop = connected_components(grown, max_iter=100, init_labels=cold.state)
+    noop = connected_components(
+        grown, max_iter=100, init_labels=cold.state, prior_edges=grown
+    )
     assert noop.iterations <= 2
     assert {r["vid"]: r["component"] for r in noop.state.collect()} == c
 
@@ -446,21 +455,73 @@ def test_hits_warm_start(spark, tiny_edges):
 
 
 def test_cc_warm_start_guards_non_additive_deltas(spark):
-    """Stale priors must never poison hash-min: labels naming dropped
-    vids are discarded at seed time, and a component SPLIT (detected
-    post-hoc: final label != min member vid) falls back to a cold run."""
+    """Stale priors must never poison hash-min.  A removed edge can
+    split a component, and hash-min labels only ever decrease, so no
+    label-side post-hoc check can reject the glued result — the guard
+    is the PRECONDITION prior_edges ⊆ new edges, checked before any
+    superstep runs; a violated precondition falls back to a cold run
+    (with a warning), and omitting prior_edges without assume_additive
+    is an error."""
+    import pytest as _pytest
+
     base = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
     )
     labels0 = connected_components(base, max_iter=50).state
-    # dropped-vertex delta: vertex 1 disappears; old labels say 1
+    # no prior edges, no certificate: refuse (unsound to proceed)
+    with _pytest.raises(ValueError, match="prior_edges"):
+        connected_components(base, max_iter=50, init_labels=labels0)
+    # dropped-vertex delta: vertex 1 disappears (edge 1-2 removed) —
+    # non-additive, so the warm start is rejected and the cold run
+    # produces the correct labels
     no_v1 = spark.createDataFrame([(2, 3), (10, 11)], "src bigint, dst bigint")
-    w1 = connected_components(no_v1, max_iter=50, init_labels=labels0)
+    with _pytest.warns(UserWarning, match="non-additive"):
+        w1 = connected_components(
+            no_v1, max_iter=50, init_labels=labels0, prior_edges=base
+        )
     got1 = {r["vid"]: r["component"] for r in w1.state.collect()}
     assert got1 == {2: 2, 3: 2, 10: 10, 11: 10}
     # split delta: {1,2,3} loses the 2-3 edge but vid 1 still exists;
-    # vertex 3's stale prior (1) is a live vid in ANOTHER component
-    split = spark.createDataFrame([(1, 2), (3, 4), (10, 11)], "src bigint, dst bigint")
-    w2 = connected_components(split, max_iter=50, init_labels=labels0)
+    # vertex 3's stale prior (1) is a live vid in ANOTHER component —
+    # exactly the case a label-side check cannot see
+    split = spark.createDataFrame(
+        [(1, 2), (3, 4), (10, 11)], "src bigint, dst bigint"
+    )
+    with _pytest.warns(UserWarning, match="non-additive"):
+        w2 = connected_components(
+            split, max_iter=50, init_labels=labels0, prior_edges=base
+        )
     got2 = {r["vid"]: r["component"] for r in w2.state.collect()}
     assert got2 == {1: 1, 2: 1, 3: 3, 4: 3, 10: 10, 11: 10}
+
+
+def test_cc_warm_start_removed_edge_inside_surviving_component(spark):
+    """A removed edge whose component nonetheless SURVIVES (a redundant
+    edge of a triangle) is still a non-additive delta: the precondition
+    rejects the warm start conservatively and the cold fallback returns
+    the same (correct) labels a fresh run would."""
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    labels0 = connected_components(base, max_iter=50).state
+    # drop the redundant 1-3 edge: {1,2,3} stays one component
+    thinned = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    import pytest as _pytest
+
+    with _pytest.warns(UserWarning, match="non-additive"):
+        warm = connected_components(
+            thinned, max_iter=50, init_labels=labels0, prior_edges=base
+        )
+    got = {r["vid"]: r["component"] for r in warm.state.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # direction flips alone are NOT removals: canonical-form compare
+    flipped = spark.createDataFrame(
+        [(2, 1), (3, 2), (3, 1), (11, 10), (5, 6)], "src bigint, dst bigint"
+    )
+    warm2 = connected_components(
+        flipped, max_iter=50, init_labels=labels0, prior_edges=base
+    )
+    got2 = {r["vid"]: r["component"] for r in warm2.state.collect()}
+    assert got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 5: 5, 6: 5}

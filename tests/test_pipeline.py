@@ -887,26 +887,38 @@ def test_image_metadata_progressive_jpeg(spark):
 
 
 def test_image_metadata_jpeg_header_dims(spark):
-    """A JPEG without scan data (or progressive SOF2) falls back to the
-    SOF marker walk (T.81 §B.2.2): dimensions real, mean_value null."""
+    """The SOF header-walk degrade (T.81 §B.2.2: dimensions real,
+    mean_value null) applies ONLY to structurally valid JPEGs whose
+    coding process the decoder does not implement (NotImplementedError:
+    arithmetic-coded, lossless, hierarchical). Corrupt or headers-only
+    streams raise ValueError and follow on_error instead — the degrade
+    must not mask corruption under on_error='raise'."""
     import struct
+
+    import pytest as _pytest
 
     from linkgraph.pipeline import multimodal
 
     def make_jpeg(w, h, comps, sof=0xC0, fill=False):
         soi = b"\xff\xd8"
-        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
-        sof_payload = struct.pack(">BHHB", 8, h, w, comps) + b"\x11\x00" * comps
+        # 3 bytes per component: id, sampling factors, qtable (T.81 B.2.2)
+        comp_list = b"".join(
+            bytes([c + 1, 0x11, 0x00]) for c in range(comps)
+        )
+        sof_payload = struct.pack(">BHHB", 8, h, w, comps) + comp_list
         sof_seg = bytes([0xFF, sof]) + struct.pack(
             ">H", 2 + len(sof_payload)
         ) + sof_payload
         fillb = b"\xff" if fill else b""  # 0xFF fill bytes before a marker
-        return soi + app0 + fillb + sof_seg + b"\xff\xd9"
+        return soi + app0() + fillb + sof_seg + b"\xff\xd9"
+
+    def app0():
+        return b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
 
     rows = [
-        (1, make_jpeg(640, 480, 3)),            # baseline SOF0
-        (2, make_jpeg(31, 17, 1, sof=0xC2)),    # progressive SOF2, grayscale
-        (3, make_jpeg(8, 8, 3, fill=True)),     # fill bytes tolerated
+        (1, make_jpeg(640, 480, 3, sof=0xC9)),  # arithmetic SOF9 -> degrade
+        (2, make_jpeg(31, 17, 1, sof=0xCB)),    # arithmetic prog SOF11
+        (3, make_jpeg(8, 8, 3, sof=0xC9, fill=True)),  # fill bytes tolerated
     ]
     df = spark.createDataFrame(rows, "id bigint, image binary")
     got = {r["id"]: r for r in multimodal.image_metadata(df).collect()}
@@ -915,6 +927,17 @@ def test_image_metadata_jpeg_header_dims(spark):
     assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (31, 17, 1)
     assert (got[3]["width"], got[3]["height"]) == (8, 8)
     assert got[1]["n_bytes"] == len(rows[0][1])
+    # a headers-only BASELINE jpeg (supported process, no scan data) is
+    # corrupt, not unsupported: on_error='raise' surfaces it...
+    truncated = spark.createDataFrame(
+        [(9, make_jpeg(16, 16, 3))], "id bigint, image binary"
+    )
+    with _pytest.raises(Exception, match="no SOS"):
+        multimodal.image_metadata(truncated).collect()
+    # ...and on_error='null' null-pads it rather than returning header
+    # dims that would masquerade as a successful decode
+    (r,) = multimodal.image_metadata(truncated, on_error="null").collect()
+    assert r["width"] is None and r["mean_value"] is None
 
 
 def test_image_metadata_jpeg_truncated_null_pads(spark):
