@@ -104,6 +104,36 @@ SCALARS: dict[str, Callable[..., Column]] = {
     "cast_type": lambda c, t: c.cast(t),
     "hash": F.xxhash64,
     "json_get": lambda c, path: F.get_json_object(c, f"$.{path}"),
+    # ContextCapturer.java:22-28 — zip parallel key/value arrays into a
+    # map, keys stringified, extra elements of the longer array dropped
+    # (the reference loops to min(len(keys), len(values)))
+    "context_capturer": lambda keys, values: F.map_from_arrays(
+        F.slice(
+            F.transform(keys, lambda k: k.cast("string")),
+            1,
+            F.least(F.size(keys), F.size(values)),
+        ),
+        F.slice(values, 1, F.least(F.size(keys), F.size(values))),
+    ),
+    # JsonStringGet.java:59-72 — session-RDF property lookup: find the
+    # first key of the properties map containing 'basicInfo', parse its
+    # value as JSON, return $.<prop>. fastjson tolerates single-quoted
+    # JSON (the reference's own test feeds "{'v':'123'}"), so fall back
+    # to a quote-normalized parse when the strict one yields nothing.
+    "get_rdf_property": lambda props, prop: (
+        lambda val: F.coalesce(
+            F.get_json_object(val, f"$.{prop}"),
+            F.get_json_object(F.regexp_replace(val, "'", '"'), f"$.{prop}"),
+        )
+    )(
+        F.try_element_at(
+            props,
+            F.try_element_at(
+                F.filter(F.map_keys(props), lambda k: k.contains("basicInfo")),
+                F.lit(1),
+            ),
+        )
+    ),
     "rule_value": lambda cond, a, b: F.when(cond, a).otherwise(b),
     # var-len path helpers (RepeatEdgeLength.java, RepeatReduce.java,
     # RepeatConstraint.java)

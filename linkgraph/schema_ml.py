@@ -90,6 +90,12 @@ class SchemaType:
     kind: str  # EntityType / ConceptType / EventType / StandardType
     desc: str | None = None
     hypernym: str | None = None  # ConceptType hypernymPredicate
+    # StandardType metas (reference schema_ml.py:421-438: both are
+    # asserted standard-type-only; spreadable must be True/False)
+    spreadable: bool | None = None
+    regular: str | None = None  # value-constraint regex
+    # ConceptType meta (reference schema_ml.py:440-445)
+    auto_relate: str | None = None
     properties: dict[str, SchemaPredicate] = field(default_factory=dict)
     relations: dict[str, SchemaPredicate] = field(default_factory=dict)
 
@@ -205,6 +211,32 @@ def parse_schema(text: str) -> SchemaModel:
                 cur_type.desc = val
             elif key == "hypernymPredicate":
                 cur_type.hypernym = val
+            elif key == "regular":
+                if cur_type.kind != "StandardType":
+                    raise ValueError(
+                        f"line {lineno}: regular is available for "
+                        "standard type only"
+                    )
+                cur_type.regular = val
+            elif key == "spreadable":
+                if cur_type.kind != "StandardType":
+                    raise ValueError(
+                        f"line {lineno}: spreadable is available for "
+                        "standard type only"
+                    )
+                if val not in ("True", "False"):
+                    raise ValueError(
+                        f"line {lineno}: spreadable only accepts True or "
+                        f"False, got {val!r}"
+                    )
+                cur_type.spreadable = val == "True"
+            elif key == "autoRelate":
+                if cur_type.kind != "ConceptType":
+                    raise ValueError(
+                        f"line {lineno}: autoRelate is available for "
+                        "concept type only"
+                    )
+                cur_type.auto_relate = val
             else:
                 raise ValueError(
                     f"line {lineno}: unknown type meta {key!r}"

@@ -106,6 +106,37 @@ def test_function_registry(spark):
     assert (row["lo"], row["ln"], row["jv"], row["rv"]) == ("hello world", 11, "5", "big")
     assert isinstance(row["h"], int)
 
+
+def test_context_capturer_and_rdf_property(spark):
+    """Session-context UDF pair (ContextCapturer.java:22-28,
+    JsonStringGet.java:59-72; golden from UdfTest.java:129-134:
+    {'basicInfo': \"{'v':'123'}\"} -> get_rdf_property(ctx, 'v') = '123')."""
+    df = spark.createDataFrame(
+        [(["basicInfo", "extra"], ["{'v':'123'}", "ignored", "dangling"])],
+        "ks array<string>, vs array<string>",
+    )
+    row = df.select(
+        SCALARS["context_capturer"](F.col("ks"), F.col("vs")).alias("ctx")
+    ).select(
+        "ctx",
+        SCALARS["get_rdf_property"](F.col("ctx"), "v").alias("p"),
+        SCALARS["get_rdf_property"](F.col("ctx"), "missing").alias("m"),
+    ).collect()[0]
+    # zip stops at the shorter array (reference loops to min length)
+    assert row["ctx"] == {"basicInfo": "{'v':'123'}", "extra": "ignored"}
+    assert row["p"] == "123"
+    assert row["m"] is None
+    # no basicInfo key anywhere -> null (JsonStringGet.java:71)
+    df2 = spark.createDataFrame(
+        [(["other"], ['{"v": "1"}'])], "ks array<string>, vs array<string>"
+    )
+    (r2,) = df2.select(
+        SCALARS["get_rdf_property"](
+            SCALARS["context_capturer"](F.col("ks"), F.col("vs")), "v"
+        ).alias("p")
+    ).collect()
+    assert r2["p"] is None
+
     agg_df = spark.createDataFrame(
         [("a", 1), ("a", 2), ("b", 3)], "k string, v int"
     )

@@ -22,12 +22,41 @@ def test_all_shipped_schema_files_parse():
         "oneke": (11, 0),
         "riskmining": (7, 2),
         "supplychain": (11, 13),
+        "test": (8, 0),  # knext/tests — KTStd spreadable/regular metas
     }
-    for path in sorted(glob.glob(f"{EXAMPLES}/*/schema/*.schema")):
+    paths = sorted(glob.glob(f"{EXAMPLES}/*/schema/*.schema")) + [
+        "/root/reference/python/knext/tests/test/schema/test.schema"
+    ]
+    assert len(paths) == len(expected), "a shipped .schema file is unchecked"
+    for path in paths:
         name = path.rsplit("/", 1)[-1].removesuffix(".schema")
         m = schema_ml.parse_schema(open(path).read())
         rules = schema_ml.property_rules(m)
         assert (len(m.types), len(rules)) == expected[name], name
+    # the KTStd type metas round-trip (reference schema_ml.py:421-438)
+    m = schema_ml.parse_schema(
+        open("/root/reference/python/knext/tests/test/schema/test.schema").read()
+    )
+    std = m.types["STD.Standard"]
+    assert std.spreadable is True
+    assert std.regular.startswith(r"^\d{4}")
+
+
+def test_standard_type_metas_validated():
+    import pytest
+
+    with pytest.raises(ValueError, match="standard type only"):
+        schema_ml.parse_schema(
+            "namespace T\n\nE(e): EntityType\n    spreadable: True\n"
+        )
+    with pytest.raises(ValueError, match="True or False"):
+        schema_ml.parse_schema(
+            "namespace T\n\nS(s): StandardType\n    spreadable: yes\n"
+        )
+    with pytest.raises(ValueError, match="concept type only"):
+        schema_ml.parse_schema(
+            "namespace T\n\nS(s): StandardType\n    autoRelate: X\n"
+        )
     # spot-check structure: riskmining Person
     m = schema_ml.parse_schema(open(f"{EXAMPLES}/riskmining/schema/riskmining.schema").read())
     person = m.types["RiskMining.Person"]
