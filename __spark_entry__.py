@@ -1269,6 +1269,113 @@ def _x_geo_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_geo_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_intersects_area UDF (GeoUtils.java:300-327 local-TM clip +
+    area) on a convex fixture that makes the oracle SQL-expressible:
+    per customer key a small rect g1 and, by key mod 3, either a larger
+    rect fully containing it (area = |shoelace| of g1's four corners
+    projected by the same spherical TM, re-derived in DuckDB), a far
+    disjoint rect (-1.0), or an interior point (intersecting non-polygon
+    pair -> 0.0). Every coordinate is a short decimal (<= 3 dp) so the
+    parser's JTS-parity 1e-6 snap grid (geo._snap, PrecisionModel
+    1000000) is a no-op and both engines see the same corners; area is
+    rounded to 10 m^2 (rel. divergence measured 3e-13) so libm ulp
+    differences can't flip the value compare."""
+    from linkgraph.functions import SCALARS
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    cx = (k % 600) / 4.0 - 74.0
+    cy = ((k * 7) % 300) / 8.0 - 18.0
+    w = 0.02 + (k % 7) / 100.0
+    h = 0.015 + (k % 5) / 100.0
+
+    def num(c):
+        return c.cast("string")
+
+    def rect(x1, y1, x2, y2):
+        return F.concat(
+            F.lit("POLYGON (("),
+            num(x1), F.lit(" "), num(y1), F.lit(", "),
+            num(x2), F.lit(" "), num(y1), F.lit(", "),
+            num(x2), F.lit(" "), num(y2), F.lit(", "),
+            num(x1), F.lit(" "), num(y2), F.lit(", "),
+            num(x1), F.lit(" "), num(y1), F.lit("))"),
+        )
+
+    g1 = rect(cx - w, cy - h, cx + w, cy + h)
+    g2 = (
+        F.when(k % 3 == 0, rect(cx - w - 0.125, cy - h - 0.125,
+                                cx + w + 0.125, cy + h + 0.125))
+        .when(k % 3 == 1, rect(cx + 5.0 - w, cy - h, cx + 5.0 + w, cy + h))
+        .otherwise(F.concat(F.lit("POINT ("), num(cx), F.lit(" "), num(cy), F.lit(")")))
+    )
+    area = SCALARS["geo_intersects_area"](g1, g2)
+    return cust.select(
+        "c_custkey",
+        # round only the true-area branch: the -1.0 / 0.0 sentinels are
+        # exact doubles, and round(-1.0, -1) would collapse them both to
+        # a (sign-ambiguous) zero
+        F.when(k % 3 == 0, F.round(area, -1)).otherwise(area).alias("area_m2"),
+    )
+
+
+def _x_s2_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_buffer_and_convert_2_s2CellId UDTF (GeoBufferAndConvert2S2CellId
+    .java via linkgraph.geo.s2_covering_tokens): level-14 coverings of
+    buffered points. The oracle pins cell COUNT, first/last token (the
+    coverer's sorted-order boundary cells) and center-cell MEMBERSHIP
+    against frozen goldens — cell-id construction itself is
+    cross-checked in pytest against an independently-coded recursive
+    Hilbert descent (tests/test_geo.py:219-242), so the frozen tokens
+    anchor the covering to that independently-verified id space. Keys
+    are capped at 1500 so the row set is identical at every sf >= 0.01."""
+    from linkgraph.functions import UDTFS
+    from linkgraph.geo import S2_BEST_LEVEL, cellid_from_latlng, cellid_to_token
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    pts = cust.where((k % 50 == 0) & (k <= 1500)).select(
+        "c_custkey",
+        ((k % 600) / 4.0 - 74.0).alias("cx"),
+        (((k * 7) % 300) / 8.0 - 18.0).alias("cy"),
+        (500.0 + (k % 4).cast("double") * 250.0).alias("buf"),
+    )
+    wkt = F.concat(
+        F.lit("POINT ("), F.col("cx").cast("string"), F.lit(" "),
+        F.col("cy").cast("string"), F.lit(")"),
+    )
+    toks = UDTFS["geo_buffer_and_convert_2_s2CellId"](wkt, F.col("buf"))
+    # center-cell tokens for the 30 fixed keys, built driver-side (O(30)
+    # Python, not distributed work) and broadcast-joined
+    center = spark.createDataFrame(
+        [
+            (
+                kk,
+                cellid_to_token(
+                    cellid_from_latlng(
+                        ((kk * 7) % 300) / 8.0 - 18.0,
+                        (kk % 600) / 4.0 - 74.0,
+                        S2_BEST_LEVEL,
+                    )
+                ),
+            )
+            for kk in range(50, 1501, 50)
+        ],
+        "c_custkey bigint, ctok string",
+    )
+    return pts.select(
+        "c_custkey",
+        toks.alias("toks"),
+    ).join(F.broadcast(center), "c_custkey").select(
+        "c_custkey",
+        F.size("toks").alias("n_cells"),
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+        F.array_contains("toks", F.col("ctok")).alias("has_center_cell"),
+    )
+
+
 def _x_trans_count_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trans_count_by_day registry AGGREGATE (TransCountByDay.java:
     34-111 — day-bucketed threshold counting with large/small ops), vs a
@@ -1309,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # byte-unchanged) rotate past the window and are re-verified
     # locally each round via tools/check_oracle.py (see COVERAGE.md).
     return {
+        "x_geo_area": _x_geo_area,
+        "x_s2_covering": _x_s2_covering,
         "x_geo_distance": _x_geo_distance,
         "x_geo_within": _x_geo_within,
         "x_trans_count_by_day": _x_trans_count_by_day,
@@ -2027,6 +2136,103 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_custkey, round(sqrt(lx * lx + ly * ly), 3) AS dist_m
             FROM legs
+        """,
+        # geo_intersects_area parity: TM-project g1's corners about its
+        # center (the Geom centroid of a rectangle) exactly as
+        # geo._tm_project does -- atanh spelled 0.5*ln((1+B)/(1-B)) --
+        # then shoelace; containment makes the clipped region g1 itself.
+        # Disjoint pairs are -1.0, intersecting non-polygon pairs 0.0
+        # (intersects_area_g branch order).
+        "x_geo_area": """
+            WITH params AS (
+                SELECT c_custkey,
+                       (c_custkey % 600) / 4.0 - 74.0 AS cx,
+                       ((c_custkey * 7) % 300) / 8.0 - 18.0 AS cy,
+                       0.02 + (c_custkey % 7) / 100.0 AS w,
+                       0.015 + (c_custkey % 5) / 100.0 AS h,
+                       c_custkey % 3 AS cse
+                FROM customer
+            ),
+            corners AS (
+                SELECT p.*, t.ord, p.cx + t.sx * p.w AS lng, p.cy + t.sy * p.h AS lat
+                FROM params p, (VALUES (0, -1.0, -1.0), (1, 1.0, -1.0),
+                                       (2, 1.0, 1.0), (3, -1.0, 1.0)) t(ord, sx, sy)
+                WHERE p.cse = 0
+            ),
+            proj AS (
+                SELECT c_custkey, ord,
+                       6378137.0 * 0.9996 * 0.5
+                         * ln((1.0 + cos(radians(lat)) * sin(radians(lng - cx)))
+                              / (1.0 - cos(radians(lat)) * sin(radians(lng - cx)))) AS px,
+                       6378137.0 * 0.9996
+                         * (atan2(tan(radians(lat)), cos(radians(lng - cx)))
+                            - radians(cy)) AS py
+                FROM corners
+            ),
+            ring AS (
+                SELECT * FROM proj
+                UNION ALL
+                SELECT c_custkey, ord + 4, px, py FROM proj WHERE ord = 0
+            ),
+            shoelace AS (
+                SELECT c_custkey, abs(sum(px * np_y - np_x * py)) / 2.0 AS area
+                FROM (
+                    SELECT c_custkey, px, py,
+                           lead(px) OVER (PARTITION BY c_custkey ORDER BY ord) AS np_x,
+                           lead(py) OVER (PARTITION BY c_custkey ORDER BY ord) AS np_y
+                    FROM ring
+                )
+                WHERE np_x IS NOT NULL
+                GROUP BY c_custkey
+            )
+            SELECT p.c_custkey,
+                   CASE WHEN p.cse = 1 THEN -1.0
+                        WHEN p.cse = 2 THEN 0.0
+                        ELSE round(s.area, -1) END AS area_m2
+            FROM params p LEFT JOIN shoelace s USING (c_custkey)
+        """,
+        # S2 covering invariants against frozen goldens: the leaf-cell id
+        # construction is pinned in pytest against an independently-coded
+        # recursive Hilbert descent (tests/test_geo.py:219-242); these
+        # literals freeze the covering's count, sorted boundary tokens and
+        # center-cell membership on top of that verified id space. The
+        # customer join scales the row set with sf.
+        "x_s2_covering": """
+            SELECT g.c_custkey, g.n_cells, g.first_tok, g.last_tok,
+                   g.has_center_cell
+            FROM (VALUES
+                (50, 9, '93c81a61', '93c81a8f', TRUE),
+                (100, 4, '92c36d79', '92c36d83', TRUE),
+                (150, 12, '08797309', '08797375', TRUE),
+                (200, 4, '08cdfa55', '08cdfbab', TRUE),
+                (250, 9, '0ef9d795', '0ef9d7bf', TRUE),
+                (300, 3, '1b4bf65f', '1b4bf68b', TRUE),
+                (350, 9, '1badfe2b', '1bae0087', TRUE),
+                (400, 4, '199215a9', '199215af', TRUE),
+                (450, 17, '17895c95', '17895ceb', TRUE),
+                (500, 3, '3d0c6d25', '3d0c6d3b', TRUE),
+                (550, 12, '3c6e8be1', '3c6e8bfd', TRUE),
+                (600, 4, '9138f0ed', '9138f0f3', TRUE),
+                (650, 9, '93c81a61', '93c81a8f', TRUE),
+                (700, 4, '92c36d79', '92c36d83', TRUE),
+                (750, 12, '08797309', '08797375', TRUE),
+                (800, 4, '08cdfa55', '08cdfbab', TRUE),
+                (850, 9, '0ef9d795', '0ef9d7bf', TRUE),
+                (900, 3, '1b4bf65f', '1b4bf68b', TRUE),
+                (950, 9, '1badfe2b', '1bae0087', TRUE),
+                (1000, 4, '199215a9', '199215af', TRUE),
+                (1050, 17, '17895c95', '17895ceb', TRUE),
+                (1100, 3, '3d0c6d25', '3d0c6d3b', TRUE),
+                (1150, 12, '3c6e8be1', '3c6e8bfd', TRUE),
+                (1200, 4, '9138f0ed', '9138f0f3', TRUE),
+                (1250, 9, '93c81a61', '93c81a8f', TRUE),
+                (1300, 4, '92c36d79', '92c36d83', TRUE),
+                (1350, 12, '08797309', '08797375', TRUE),
+                (1400, 4, '08cdfa55', '08cdfbab', TRUE),
+                (1450, 9, '0ef9d795', '0ef9d7bf', TRUE),
+                (1500, 3, '1b4bf65f', '1b4bf68b', TRUE)
+            ) g(c_custkey, n_cells, first_tok, last_tok, has_center_cell)
+            JOIN customer c ON c.c_custkey = g.c_custkey
         """,
         "x_geo_within": f"""
             WITH pts AS ({_GEO_PTS_SQL})
