@@ -244,6 +244,12 @@ def test_near_dedup_resolves_clusters(spark, docs):
     got = {r["doc_id"]: r["canonical_id"] for r in
            dedup.near_dedup(docs, pairs=pairs).collect()}
     assert got[0] == got[1] == got[2] == 0 and got[3] == 3
+    # the distributed Pregel kernel (threshold 0 forces it) returns the
+    # identical contract as the driver union-find fast path above
+    got_dist = {r["doc_id"]: r["canonical_id"] for r in
+                dedup.near_dedup(docs, pairs=pairs,
+                                 small_pairs_threshold=0).collect()}
+    assert got_dist == got
 
     # non-integral ids ride the hashed-vid path; canonical is still min ID
     sdocs = docs.select(
@@ -254,6 +260,11 @@ def test_near_dedup_resolves_clusters(spark, docs):
            dedup.near_dedup(sdocs, jaccard_threshold=0.5).collect()}
     assert got["url-0"] == got["url-1"] == "url-0"
     assert got["url-3"] == "url-3"
+    # hashed-vid distributed path agrees with the string fast path too
+    got_dist = {r["doc_id"]: r["canonical_id"] for r in
+                dedup.near_dedup(sdocs, jaccard_threshold=0.5,
+                                 small_pairs_threshold=0).collect()}
+    assert got_dist == got
 
 
 def test_hot_bucket_cap_ignores_null_keys(spark):
