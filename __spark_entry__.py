@@ -1202,6 +1202,24 @@ def _e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def _e_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (simsearch.pq_codebooks/pq_encode/
+    pq_topk): seeded-sample codebooks (4 subspaces x 16 codes over
+    dim 64), zero-shuffle encode projection, asymmetric-distance scan
+    of the codes column. The oracle re-derives the codebooks by the
+    same affine id-hash rank and the encode by ROW_NUMBER(dist ASC,
+    code ASC) — the order Spark's least() over (dist, code) structs
+    produces."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = simsearch.pq_codebooks(emb, m_subspaces=4, n_codes=16)
+    enc = simsearch.pq_encode(emb, books)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    out = simsearch.pq_topk(enc, q, books, k=10)
+    return out.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
 def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic coordinates from customer keys — exact
     quarter-degree steps (integer arithmetic then /4.0) so Spark and
@@ -1430,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash": _d_simhash,
         "e_ann_topk": _e_ann_topk,
         "e_ivf_topk": _e_ivf_topk,
+        "e_pq_topk": _e_pq_topk,
         "e_cosine_pairs": _e_cosine_pairs,
         "e_cosine_pairs_lsh": _e_cosine_pairs_lsh,
         "e_lsh_topk": _e_lsh_topk,
@@ -2099,6 +2118,61 @@ scored AS (
 SELECT vec_id, ROUND(raw, 6) AS score FROM scored ORDER BY raw DESC, vec_id ASC LIMIT {k}"""
 
 
+def _pq_topk_sql(
+    k: int = 10, m: int = 4, n_codes: int = 16, dim: int = 64, seed: int = 7
+) -> str:
+    """DuckDB replica of simsearch.pq_topk: per-subspace codebooks from
+    the seeded affine id-hash sample (seed+j per subspace), encode =
+    ROW_NUMBER(dist ASC, code ASC), ADC distance summed in subspace
+    order (matching Spark's left-associative d0+d1+d2+d3 fold)."""
+    from linkgraph.pipeline import phash
+
+    sub = dim // m
+    parts = []
+    for j in range(m):
+        (a, b) = phash.seeded_coeffs(1, seed + j)[0]
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"""
+book{j} AS (
+  SELECT ROW_NUMBER() OVER (
+           ORDER BY (CAST(vec_id AS BIGINT) * {a} + {b}) % {phash.P}, vec_id ASC
+         ) - 1 AS code,
+         embedding[{lo}:{hi}] AS cw
+  FROM embeddings ORDER BY (CAST(vec_id AS BIGINT) * {a} + {b}) % {phash.P}, vec_id ASC
+  LIMIT {n_codes}
+),
+enc{j} AS (
+  SELECT vec_id, cw FROM (
+    SELECT e.vec_id, b.cw,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(range(1, {sub + 1}),
+               i -> (CAST(e.embedding[{lo} - 1 + i] AS DOUBLE) - CAST(b.cw[i] AS DOUBLE))
+                  * (CAST(e.embedding[{lo} - 1 + i] AS DOUBLE) - CAST(b.cw[i] AS DOUBLE)))) ASC,
+               b.code ASC) AS rn
+    FROM embeddings e CROSS JOIN book{j} b) t WHERE rn = 1
+)""")
+        # ADC leg for subspace j against the single query vector
+    legs = " + ".join(
+        f"""list_sum(list_transform(range(1, {sub + 1}),
+          i -> (CAST(q.qe[{j * sub} + i] AS DOUBLE) - CAST(enc{j}.cw[i] AS DOUBLE))
+             * (CAST(q.qe[{j * sub} + i] AS DOUBLE) - CAST(enc{j}.cw[i] AS DOUBLE))))"""
+        for j in range(m)
+    )
+    joins = " ".join(
+        f"JOIN enc{j} ON enc{j}.vec_id = e.vec_id" for j in range(m)
+    )
+    return f"""
+WITH {','.join(parts)},
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, {legs} AS raw
+  FROM embeddings e {joins} CROSS JOIN q
+)
+SELECT vec_id, ROUND(raw, 6) AS adc_dist
+FROM scored ORDER BY raw ASC, vec_id ASC LIMIT {k}"""
+
+
 _ANN_SQL = """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id,
@@ -2681,4 +2755,5 @@ ORDER BY custkey""",
         "e_cosine_pairs_lsh": _cosine_pairs_lsh_sql(),
         "e_lsh_topk": _lsh_topk_sql(),
         "e_ivf_topk": _ivf_topk_sql(),
+        "e_pq_topk": _pq_topk_sql(),
     }

@@ -2,9 +2,14 @@
 
 Baseline: brute-force cosine top-k — a broadcast join of the (tiny)
 query set against the corpus, dot products via zip_with/aggregate
-(JVM-side, whole-stage codegen). Scale path: LSH bucketing by random
-hyperplane sign bits — candidates come from one bucket equi-join, so the
-scan is |corpus|/2^planes per query instead of |corpus|.
+(JVM-side, whole-stage codegen). Scale paths: LSH bucketing by random
+hyperplane sign bits (candidates from one bucket equi-join, scan is
+|corpus|/2^planes per query), IVF inverted lists over literal seeded
+centroids (scan is ~n_probe/n_centroids), and product quantization
+(pq_codebooks/pq_encode/pq_topk: encode once to m-byte codes by a
+zero-shuffle projection, then asymmetric-distance scans touch only the
+codes column — the memory-side compression that complements the
+IVF/LSH scan reductions at 10^12 vectors).
 """
 
 from __future__ import annotations
@@ -228,6 +233,139 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: for subspace ``j`` the codewords
+    are the j-th subvectors of ``n_codes`` corpus vectors picked by a
+    seeded affine id-hash rank (seed offset per subspace so subspaces
+    draw different samples). Deterministic and reproducible in SQL —
+    the same sampling trick as ``seeded_centroids``. Training-free by
+    design: a Lloyd-refined codebook quantizes better but its float
+    group-means are engine-order-dependent, which would break the
+    DuckDB hash gate; the seeded sample keeps both engines bit-equal.
+
+    Returns ``books[j][c] = codeword`` (list of sub-dim floats)."""
+    from linkgraph.pipeline import phash
+
+    dim = len(corpus.select(vec_col).first()[0])
+    assert dim % m_subspaces == 0, "dim must divide evenly into subspaces"
+    sub = dim // m_subspaces
+    books: list[list[list[float]]] = []
+    for j in range(m_subspaces):
+        (a, b) = phash.seeded_coeffs(1, seed + j)[0]
+        rows = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(
+                (F.col(id_col).cast("long") * F.lit(a) + F.lit(b)) % F.lit(phash.P),
+                F.col(id_col).asc(),
+            )
+            .limit(n_codes)
+            .collect()
+        )
+        books.append(
+            [[float(x) for x in r[1][j * sub : (j + 1) * sub]] for r in rows]
+        )
+    return books
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to its PQ code array: per subspace the index
+    of the nearest codeword by squared L2, ties to the lowest code.
+    Pure projection over literal codewords — ZERO shuffle (the plan is
+    Project over the scan; docs/PLANS.md "PQ group"), so encoding 10^12
+    vectors is one embarrassingly-parallel pass, and the stored
+    ``codes`` column is m bytes instead of 4*dim — the 256x compression
+    that makes the re-rank corpus driver-broadcastable."""
+    m = len(books)
+    sub = len(books[0][0])
+    cols = [F.col(id_col)]
+    codes = []
+    for j, book in enumerate(books):
+        subv = F.slice(F.col(vec_col), j * sub + 1, sub)
+        # least() over (dist, code) structs = min distance, lowest code
+        # on ties — mirrors ROW_NUMBER(dist ASC, code ASC) in DuckDB
+        structs = [
+            F.struct(
+                _sq_l2(subv, F.array(*[F.lit(x) for x in cw])).alias("d"),
+                F.lit(c).cast("int").alias("c"),
+            )
+            for c, cw in enumerate(book)
+        ]
+        best = F.least(*structs) if len(structs) > 1 else structs[0]
+        codes.append(best["c"])
+    return corpus.select(*cols, F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: score(q, v) =
+    sum_j ||q_j - codeword_{j, codes[v][j]}||^2, ranked ascending.
+    The corpus side touches ONLY the codes column (the full vectors
+    never rescan); each query's distance lookup is element_at into the
+    literal codebooks — a broadcast join of the tiny query set against
+    the code table, then one grouped top-k window. Returns
+    (query_id, vec_id, adc_dist)."""
+    from pyspark.sql import Window
+
+    m = len(books)
+    sub = len(books[0][0])
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("qv")
+    )
+    joined = encoded.join(F.broadcast(q))
+    dists = []
+    for j, book in enumerate(books):
+        qsub = F.slice(F.col("qv"), j * sub + 1, sub)
+        # literal array-of-arrays: element_at(book_j, code+1) IS the
+        # chosen codeword; distance computed against the query subvector
+        book_lit = F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in book])
+        cw = F.element_at(book_lit, F.element_at(F.col("codes"), j + 1) + 1)
+        dists.append(_sq_l2(qsub, cw))
+    total = dists[0]
+    for d in dists[1:]:
+        total = total + d
+    scored = joined.select(
+        query_id_col,
+        F.col(id_col).alias("vec_id"),
+        total.alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
     return (
         scored.withColumn("__rn__", F.row_number().over(w))

@@ -83,6 +83,54 @@ class TableStore:
             return self.spark.read.table(self._ident(name))
         return self.spark.read.parquet(self._path(name))
 
+    def write_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_cols: tuple[str, ...],
+        n_buckets: int,
+        sort_cols: tuple[str, ...] = (),
+    ) -> None:
+        """Hash-bucketed (optionally bucket-sorted) table: two tables
+        bucketed the same way join/aggregate on the bucket key with NO
+        Exchange — each task reads matching buckets from both sides
+        (plan pinned by tests/test_plans.py::test_bucketed_join_no_exchange).
+        This is the durable form of the repartition the iterative
+        kernels do in memory: at 10^12-doc scale the (src,dst) edge
+        table is written once bucketed by src and every downstream
+        join against it is co-located for free.
+
+        Parquet path: ``bucketBy(...).saveAsTable`` with an explicit
+        ``path`` under the store root — data files live with the other
+        store tables; bucketing METADATA lives in the session catalog
+        (a Hive metastore on a real cluster makes it durable across
+        sessions). Iceberg path: a ``bucket(n, col)`` partition
+        transform (storage-partitioned joins pick it up)."""
+        if self.iceberg:
+            from pyspark.sql import functions as F
+
+            w = df.writeTo(self._ident(name)).using("iceberg")
+            w = w.partitionedBy(*[F.bucket(n_buckets, F.col(c)) for c in bucket_cols])
+            w.createOrReplace()
+            return
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", self._path(name))
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        writer.saveAsTable(name)
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read through the catalog so the optimizer sees the bucket
+        spec (a bare ``read.parquet`` of the same files would not)."""
+        if self.iceberg:
+            return self.spark.read.table(self._ident(name))
+        return self.spark.table(name)
+
     def append(self, name: str, df: DataFrame) -> None:
         if self.iceberg:
             df.writeTo(self._ident(name)).append()

@@ -137,6 +137,54 @@ def test_ivf_topk_overlaps_brute_force(vectors):
     assert len(brute & ivf) >= 3
 
 
+def test_pq_encode_and_adc_topk(vectors):
+    """Product quantization: codes are valid indices, a codeword-exact
+    vector encodes to distance ~0 against itself, and ADC top-k ranks
+    the planted near-cluster ahead of random vectors."""
+    books = simsearch.pq_codebooks(vectors, m_subspaces=4, n_codes=8)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(cw) == 4 for b in books for cw in b)
+    enc = simsearch.pq_encode(vectors, books)
+    rows = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert len(rows) == 50
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in rows.values())
+    # a query that IS a sampled codebook vector: its ADC self-distance is
+    # the quantization floor — strictly below a far random vector's
+    q = vectors.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    top = simsearch.pq_topk(enc, q, books, k=10).collect()
+    assert len(top) == 10
+    ids = [r["vec_id"] for r in top]
+    dists = [r["adc_dist"] for r in top]
+    assert dists == sorted(dists)
+    # the planted cluster {0..4} quantizes to (near-)identical codes, so
+    # ADC puts a majority of it in the top-10
+    assert len(set(ids) & {0, 1, 2, 3, 4}) >= 3
+    # deterministic across invocations (seeded sampling, no RNG at query)
+    top2 = simsearch.pq_topk(simsearch.pq_encode(vectors, books), q, books, k=10).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in top2] == [
+        (r["vec_id"], r["adc_dist"]) for r in top
+    ]
+
+
+def test_pq_encode_is_projection_only(vectors):
+    """The encode plan must be a pure projection over the scan — no
+    Exchange, no Python UDF (the 10^12-vector encode pass is
+    embarrassingly parallel)."""
+    import contextlib
+    import io
+
+    books = simsearch.pq_codebooks(vectors, m_subspaces=4, n_codes=8)
+    enc = simsearch.pq_encode(vectors, books)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        enc.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan  # no Batch/ArrowEvalPython nodes
+
+
 def test_multimodal_fake_decode(spark):
     rows = [
         (i, multimodal.encode_fake_image(8 + i, 6, 3, seed=i)) for i in range(4)

@@ -179,3 +179,49 @@ def test_two_phase_agg_is_two_exchanges_salted_then_keyed(spark):
     assert "__salt__" in plan
     simple = plan_str(q, mode="simple")
     assert simple.count("partial_sum") >= 2, simple
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """TableStore.write_bucketed: two tables hash-bucketed the same way
+    join on the bucket key with ZERO shuffle exchanges — each task reads
+    matching buckets from both sides (co-located join, the durable form
+    of the in-memory repartition the iterative kernels use). sortBy on
+    the bucket key additionally removes the per-task Sort."""
+    from linkgraph.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path / "bstore"))
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_partkey"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    store.write_bucketed("b_lineitem", li, ("l_orderkey",), 8,
+                         sort_cols=("l_orderkey",))
+    store.write_bucketed("b_orders", orders, ("o_orderkey",), 8,
+                         sort_cols=("o_orderkey",))
+    a = store.read_bucketed("b_lineitem")
+    b = store.read_bucketed("b_orders")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, a["l_orderkey"] == b["o_orderkey"]).groupBy(
+            "l_orderkey"
+        ).agg(F.sum(F.col("l_quantity") * F.col("o_totalprice")).alias("s"))
+        plan = plan_str(j)
+        assert "SortMergeJoin" in plan, plan
+        assert n_exchanges(plan) == 0, plan
+        assert "SelectedBucketsCount" in plan, plan
+        # correctness: same result as the unbucketed join
+        expect = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity") * F.col("o_totalprice")).alias("s"))
+        )
+        got = {(r["l_orderkey"], round(r["s"], 2)) for r in j.collect()}
+        exp = {(r["l_orderkey"], round(r["s"], 2)) for r in expect.collect()}
+        assert got == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
