@@ -1427,12 +1427,12 @@ def _x_slice_sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness sweep records only the
-    # FIRST 50 entries. Queries that have never had a driver-recorded
-    # row (the r3 tail: d_line_dedup..e_lsh_topk) and this round's new
-    # queries (p5-p8, k6-k7, t2-t3, d_near_dedup, c2_concept_rule_file)
-    # come first; long-stable q3..q20 (driver-green in rounds 1-3,
-    # byte-unchanged) rotate past the window and are re-verified
-    # locally each round via tools/check_oracle.py (see COVERAGE.md).
+    # FIRST 50 entries. Round-5's new queries (x_geo_area,
+    # x_s2_covering, e_pq_topk) and the round-4 additions that were
+    # first driver-recorded last round lead; long-stable q3..q20
+    # (driver-green in rounds 1-3, byte-unchanged) rotate past the
+    # window and are re-verified locally each round via
+    # tools/check_oracle.py (full-sweep artifacts in COVERAGE.md).
     return {
         "x_geo_area": _x_geo_area,
         "x_s2_covering": _x_s2_covering,
