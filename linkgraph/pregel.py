@@ -67,6 +67,28 @@ class CheckpointStore:
     def _step_dir(self, superstep: int) -> str:
         return os.path.join(self.dir, f"superstep={superstep}")
 
+    _FP_FILE = "input_fingerprint.json"
+
+    def read_fingerprint(self) -> str | None:
+        try:
+            with open(os.path.join(self.dir, self._FP_FILE)) as f:
+                return json.load(f)["fingerprint"]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def write_fingerprint(self, fp: str) -> None:
+        with open(os.path.join(self.dir, self._FP_FILE), "w") as f:
+            json.dump({"fingerprint": fp}, f)
+
+    def clear(self) -> None:
+        """Drop every checkpoint under this job_id (stale-input reset)."""
+        for name in os.listdir(self.dir):
+            p = os.path.join(self.dir, name)
+            if name.startswith("superstep=") and os.path.isdir(p):
+                shutil.rmtree(p)
+            elif name == self._FP_FILE:
+                os.remove(p)
+
     def save(self, superstep: int, state: DataFrame, metrics: list[dict]) -> None:
         d = self._step_dir(superstep)
         if os.path.exists(d):
@@ -173,6 +195,30 @@ def run_pregel(
     start_step = 0
 
     state = init_state
+    if store:
+        # input fingerprint: order-insensitive (count, bit_xor of row
+        # hashes) over the edge frame — one cheap columnar agg per RUN
+        # (the frame is cached by every caller). A checkpoint under this
+        # job_id that was produced from a DIFFERENT edge set must not be
+        # resumed: its state is for another graph, and `latest()` could
+        # even out-step the fresh run and shadow it on a later resume —
+        # so a mismatch clears the stale checkpoints before starting.
+        fp_row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*edges.columns)).alias("x"),
+        ).collect()[0]
+        fingerprint = f"{fp_row['n']}:{fp_row['x']}"
+        stored = store.read_fingerprint()
+        if stored is not None and stored != fingerprint:
+            if resume and store.latest() is not None:
+                import warnings
+
+                warnings.warn(
+                    f"checkpoints under job_id={job_id!r} were produced "
+                    "from a different edge set; ignoring and clearing them"
+                )
+            store.clear()
+        store.write_fingerprint(fingerprint)
     if store and resume:
         last = store.latest()
         if last is not None:

@@ -61,3 +61,40 @@ def test_checkpoint_metrics_have_partition_rows(tiny_edges, tmp_path):
     assert [r["superstep"] for r in mrows.orderBy("superstep").collect()] == [1, 2]
     prows = spark.read.parquet(os.path.join(ckpt, "m", "superstep=2", "partition_rows"))
     assert sum(r["rows"] for r in prows.collect()) > 0
+
+
+def test_resume_rejects_checkpoints_from_different_input(spark, tiny_edges, tmp_path):
+    """A checkpoint under a job_id is only resumable for the SAME edge
+    set (order-insensitive input fingerprint): re-running with different
+    edges warns, clears the stale checkpoints, and produces the same
+    result as a fresh run — never a silent resume of another graph's
+    state (which could even out-step and shadow the new run)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos import connected_components
+
+    ckpt = str(tmp_path / "ck")
+    a = connected_components(tiny_edges, max_iter=50, checkpoint_dir=ckpt,
+                             job_id="cc", checkpoint_every=1)
+    assert CheckpointStore(ckpt, "cc").latest() is not None
+
+    other = tiny_edges.select(
+        (F.col("src") + 100).alias("src"), (F.col("dst") + 100).alias("dst")
+    )
+    fresh = connected_components(other, max_iter=50)
+    expected = {r["vid"]: r["component"] for r in fresh.state.collect()}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        b = connected_components(other, max_iter=50, checkpoint_dir=ckpt,
+                                 job_id="cc", checkpoint_every=1)
+    assert any("different edge set" in str(x.message) for x in w)
+    assert {r["vid"]: r["component"] for r in b.state.collect()} == expected
+    # same-input resume still works (fingerprint matches, no warning)
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        c = connected_components(other, max_iter=50, checkpoint_dir=ckpt,
+                                 job_id="cc", checkpoint_every=1)
+    assert not any("different edge set" in str(x.message) for x in w2)
+    assert {r["vid"]: r["component"] for r in c.state.collect()} == expected

@@ -179,6 +179,12 @@ def main() -> None:
         "iter_times_4N": r_hi["iter_times_s"],
         "cpu_steal_pct_N": r_lo.get("cpu_steal_pct"),
         "cpu_steal_pct_4N": r_hi.get("cpu_steal_pct"),
+        # per-level membw probes taken immediately before/after each
+        # spark-submit: a level whose iterations degraded mid-run
+        # carries its own bandwidth-wave evidence in the artifact
+        # (quiet floor is BENCH/CANARY_FLOOR.json membw_floor_gibs)
+        "membw_gibs_N": [r_lo.get("membw_gibs_before"), r_lo.get("membw_gibs_after")],
+        "membw_gibs_4N": [r_hi.get("membw_gibs_before"), r_hi.get("membw_gibs_after")],
     }
     print(json.dumps(report))
     if not args.write_md:
