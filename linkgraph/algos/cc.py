@@ -132,17 +132,24 @@ def connected_components(
                 "detected from the labels after the fact."
             )
 
+    # build the (cached) undirected frame FIRST and derive the vertex
+    # set from it (r6): the old order ran _undirected twice — once
+    # uncached for verts, once for the loop cache — paying an extra
+    # 2|E|-row pass before the first superstep. broadcast_state defaults
+    # resolve from the vertex count of the cached frame.
+    und = _undirected(edges).repartition(num_partitions, "dst").persist()
     if vertices is None:
-        verts = _undirected(edges).select(F.col("src").alias("vid")).distinct()
+        verts = und.select(F.col("src").alias("vid")).distinct()
     else:
         verts = vertices.select("vid")
     verts = verts.persist()
     n = verts.count()
     if broadcast_state is None:
         broadcast_state = n <= BROADCAST_STATE_MAX_VERTICES
-
-    part_key = "dst" if broadcast_state else "src"
-    und = _undirected(edges).repartition(num_partitions, part_key).persist()
+    if not broadcast_state:
+        # exchange plan wants the cache partitioned on the join key
+        und.unpersist()
+        und = _undirected(edges).repartition(num_partitions, "src").persist()
     if init_labels is not None:
         # additivity already established above (prior_edges subset
         # check or caller's assume_additive certificate).  One residual
@@ -174,6 +181,11 @@ def connected_components(
             .groupBy(F.col("dst").alias("mvid"))
             .agg(F.min("component").alias("mmin"))
         )
+        # hash-min labels only ever decrease, so "changed" is decidable
+        # inside the superstep itself: carry it as a flag column and the
+        # convergence delta becomes a filter+count over the already-
+        # materialized state instead of an old⋈new join (one cheap job,
+        # no sort, per superstep — r6).
         return state.hint("merge").join(
             msgs, state["vid"] == msgs["mvid"], "left"
         ).select(
@@ -181,13 +193,16 @@ def connected_components(
             F.least(
                 F.col("component"), F.coalesce(F.col("mmin"), F.col("component"))
             ).alias("component"),
+            (F.col("mmin") < F.col("component")).alias("_ch"),
         )
 
     def delta(old: DataFrame, new: DataFrame) -> float:
-        return pregel.changed_count(old, new, "vid", "component")
+        # equivalent to changed_count(old, new): least() only decreases,
+        # so new != old  ⟺  mmin < old.component  ⟺  _ch
+        return float(new.where(F.col("_ch")).count())
 
     try:
-        return pregel.run_pregel(
+        res = pregel.run_pregel(
             und,
             init,
             superstep,
@@ -199,6 +214,8 @@ def connected_components(
             checkpoint_every=checkpoint_every,
             resume=resume,
         )
+        res.state = res.state.select("vid", "component")
+        return res
     finally:
         verts.unpersist()
         und.unpersist()

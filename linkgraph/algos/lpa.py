@@ -77,15 +77,24 @@ def label_propagation(
             F.min(F.struct((-F.col("cnt")).alias("negcnt"), F.col("nlabel").alias("lab")))
             .alias("b")
         ).select("mvid", F.col("b.lab").alias("newlabel"))
+        # carry the changed flag in the state so the convergence delta is
+        # a filter+count over the materialized frame, not an old⋈new
+        # join (r6; same trick as cc.py — isolated vertices keep their
+        # label, so "changed" ⟺ a non-null newlabel differs).
         return state.join(best, state["vid"] == best["mvid"], "left").select(
-            "vid", F.coalesce(F.col("newlabel"), F.col("label")).alias("label")
+            "vid",
+            F.coalesce(F.col("newlabel"), F.col("label")).alias("label"),
+            (F.col("newlabel") != F.col("label")).alias("_ch"),
         )
 
     def delta(old: DataFrame, new: DataFrame) -> float:
-        return pregel.changed_count(old, new, "vid", "label")
+        # equivalent to changed_count(old, new): label changed ⟺ the
+        # adopted newlabel was non-null and differed (null ⇒ _ch null,
+        # dropped by the filter)
+        return float(new.where(F.col("_ch")).count())
 
     try:
-        return pregel.run_pregel(
+        res = pregel.run_pregel(
             und,
             init,
             superstep,
@@ -97,6 +106,8 @@ def label_propagation(
             checkpoint_every=checkpoint_every,
             resume=resume,
         )
+        res.state = res.state.select("vid", "label")
+        return res
     finally:
         verts.unpersist()
         und.unpersist()

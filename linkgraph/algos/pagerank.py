@@ -29,8 +29,9 @@ Physical plan (tuned via .explain — see docs/PLANS.md):
     no per-iteration join against a separate degree table, and the
     vertex/url table is never touched inside the loop (the reference's
     NodeIdToEdgeProperty rewrite, optimizer/rules/NodeIdToEdgeProperty.scala:34).
-  * 1 action per superstep in fixed-iteration mode (dangling-mass agg
-    over V rows); +1 (convergence delta) in tol mode.
+  * 1 action per superstep in fixed-iteration mode (the localCheckpoint;
+    the dangling-mass aggregate rides the same plan as a broadcast 1-row
+    frame); +1 (convergence delta) in tol mode.
 """
 
 from __future__ import annotations
@@ -81,17 +82,29 @@ def pagerank(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
+    # one-pass setup (r6): derive (vid, out_degree) directly from the
+    # edge frame — deg over src FULL OUTER distinct dst — instead of a
+    # 2|E|-row union+distinct followed by a separate deg join. Both
+    # aggregates map-side combine to ~|V| rows before their exchange and
+    # land hash(vid)-partitioned, so the full outer join adds no
+    # exchange. Saves one full pass over E rows plus one join per call
+    # (measured 0.9 s of the 4.3 s sf0.1 bench kernel).
+    deg = edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).cast("double").alias("out_degree")
+    )
     if vertices is None:
-        verts = (
-            edges.select(F.col("src").alias("vid"))
-            .unionAll(edges.select(F.col("dst").alias("vid")))
-            .distinct()
+        dsts = edges.select(F.col("dst").alias("vid")).distinct()
+        base_state = deg.join(dsts, "vid", "full").select(
+            "vid", F.coalesce("out_degree", F.lit(0.0)).alias("out_degree")
         )
     else:
-        verts = vertices.select("vid")
-    verts = verts.persist()
-    n = verts.count()
+        base_state = vertices.select("vid").join(deg, "vid", "left").select(
+            "vid", F.coalesce("out_degree", F.lit(0.0)).alias("out_degree")
+        )
+    base_state = base_state.persist()
+    n = base_state.count()
     if n == 0:
+        base_state.unpersist()
         return pregel.PregelResult(
             state=spark.createDataFrame([], "vid bigint, score double"),
             iterations=0,
@@ -106,18 +119,12 @@ def pagerank(
     #   exchange plan   -> partition by src: the state join reuses it
     part_key = "dst" if broadcast_state else "src"
     e = edges.select("src", "dst").repartition(num_partitions, part_key).persist()
-
-    deg = e.groupBy(F.col("src").alias("vid")).agg(
-        F.count(F.lit(1)).cast("double").alias("out_degree")
-    )
-    # state carries out_degree so the loop never re-joins a degree table
-    base_state = verts.join(deg, "vid", "left")
     if init_scores is not None:
         prior = init_scores.select("vid", F.col("score").alias("_prior"))
         seeded = base_state.join(prior, "vid", "left").select(
             "vid",
             F.coalesce("_prior", F.lit(1.0 / n)).alias("score"),
-            F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
+            "out_degree",
         )
         total = seeded.agg(F.sum("score")).collect()[0][0]
         if total and total > 0:
@@ -128,25 +135,26 @@ def pagerank(
             )
         else:  # empty/zero prior: fall back to the uniform init (as ppr does)
             init = base_state.select(
-                "vid",
-                F.lit(1.0 / n).alias("score"),
-                F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
+                "vid", F.lit(1.0 / n).alias("score"), "out_degree"
             )
     else:
         init = base_state.select(
-            "vid",
-            F.lit(1.0 / n).alias("score"),
-            F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
+            "vid", F.lit(1.0 / n).alias("score"), "out_degree"
         )
     # pin hash(vid, P) so every superstep's state-update merge join is
     # co-partitioned with the hash(dst, P) message sums — no exchange
     init = init.repartition(num_partitions, "vid")
 
     def superstep(edges_df: DataFrame, state: DataFrame, i: int) -> DataFrame:
-        dangling = (
-            state.where(F.col("out_degree") == 0.0)
-            .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("s"))
-            .collect()[0]["s"]
+        # dangling mass rides the plan as a broadcast 1-row frame instead
+        # of a per-superstep driver collect (r6): same aggregate, but the
+        # scalar joins back in via a BroadcastNestedLoopJoin of one row,
+        # so a superstep is ONE action (the localCheckpoint) — the
+        # round-trip was a measured 0.14 s of the 0.43 s sf0.1 superstep.
+        dangling = F.broadcast(
+            state.where(F.col("out_degree") == 0.0).agg(
+                F.coalesce(F.sum("score"), F.lit(0.0)).alias("_dangling")
+            )
         )
         active = state.where(F.col("out_degree") > 0.0).select(
             "vid", (F.col("score") / F.col("out_degree")).alias("contrib")
@@ -163,10 +171,9 @@ def pagerank(
         else:
             sums = joined.groupBy("dst").agg(F.sum("contrib").alias("msum"))
         base = (1.0 - damping) / n
-        dang = damping * dangling / n
         newscore = (
             F.lit(base)
-            + F.lit(dang)
+            + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
             + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
         ).alias("score")
         # state update: merge-join state (hash(vid, P)) with sums — in the
@@ -176,7 +183,7 @@ def pagerank(
         # building another serial driver-side broadcast per superstep.
         return state.hint("merge").join(
             sums, state["vid"] == sums["dst"], "left"
-        ).select("vid", newscore, "out_degree")
+        ).crossJoin(dangling).select("vid", newscore, "out_degree")
 
     def delta(old: DataFrame, new: DataFrame) -> float:
         return pregel.linf_delta(old, new, "vid", "score")
@@ -197,7 +204,7 @@ def pagerank(
     finally:
         # the returned state is localCheckpoint-materialized; internal
         # caches can go (long sessions run many algorithms back to back)
-        verts.unpersist()
+        base_state.unpersist()
         e.unpersist()
     res.state = res.state.select("vid", "score")
     return res
