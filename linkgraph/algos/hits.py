@@ -39,7 +39,6 @@ final state always saved).
 
 from __future__ import annotations
 
-import math
 import time
 
 from pyspark.sql import DataFrame
@@ -135,20 +134,32 @@ def hits(
             .groupBy("dst")
             .agg(F.sum("hub").alias("araw"))
         )
-        # checkpoint the raw sums BEFORE the norm collect: otherwise the
-        # norm aggregate and the downstream plan would each execute the
-        # expensive join+aggregate once (2x per half-step)
+        # checkpoint the raw sums BEFORE the norm aggregate: otherwise
+        # the norm aggregate and the downstream plan would each execute
+        # the expensive join+aggregate once (2x per half-step). The norm
+        # itself rides the next half-step's plan as a broadcast 1-row
+        # frame over the checkpointed sums (r6) — no driver collect per
+        # half-step; `sqrt(sum x²) or 1.0` becomes
+        # coalesce(nullif(sqrt(...), 0.0), 1.0), bit-identical (IEEE
+        # sqrt is correctly rounded in both engines).
         a_unnorm = (
             state.hint("merge")
             .join(asum, state["vid"] == asum["dst"], "left")
             .select("vid", "hub", F.coalesce("araw", F.lit(0.0)).alias("araw"))
             .localCheckpoint(eager=True)
         )
-        a_norm = math.sqrt(
-            a_unnorm.agg(F.sum(F.col("araw") * F.col("araw"))).collect()[0][0] or 1.0
-        ) or 1.0
-        mid = a_unnorm.select(
-            "vid", "hub", (F.col("araw") / F.lit(a_norm)).alias("auth")
+        a_norm = F.broadcast(
+            a_unnorm.agg(
+                F.coalesce(
+                    F.nullif(
+                        F.sqrt(F.sum(F.col("araw") * F.col("araw"))), F.lit(0.0)
+                    ),
+                    F.lit(1.0),
+                ).alias("_anorm")
+            )
+        )
+        mid = a_unnorm.crossJoin(a_norm).select(
+            "vid", "hub", (F.col("araw") / F.col("_anorm")).alias("auth")
         )
 
         auths = mid.select("vid", "auth")
@@ -165,11 +176,18 @@ def hits(
             .select("vid", F.coalesce("hraw", F.lit(0.0)).alias("hraw"), "auth")
             .localCheckpoint(eager=True)
         )
-        h_norm = math.sqrt(
-            h_unnorm.agg(F.sum(F.col("hraw") * F.col("hraw"))).collect()[0][0] or 1.0
-        ) or 1.0
-        new_state = h_unnorm.select(
-            "vid", (F.col("hraw") / F.lit(h_norm)).alias("hub"), "auth"
+        h_norm = F.broadcast(
+            h_unnorm.agg(
+                F.coalesce(
+                    F.nullif(
+                        F.sqrt(F.sum(F.col("hraw") * F.col("hraw"))), F.lit(0.0)
+                    ),
+                    F.lit(1.0),
+                ).alias("_hnorm")
+            )
+        )
+        new_state = h_unnorm.crossJoin(h_norm).select(
+            "vid", (F.col("hraw") / F.col("_hnorm")).alias("hub"), "auth"
         )
 
         it += 1

@@ -44,37 +44,43 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank needs at least one seed vertex")
     ns = len(seed_list)
 
-    verts = (
-        edges.select(F.col("src").alias("vid"))
-        .unionAll(edges.select(F.col("dst").alias("vid")))
-        .distinct()
+    # one-pass setup as in pagerank.py (r6): (vid, out_degree) from deg
+    # FULL OUTER distinct dsts; the seed-presence check and the vertex
+    # count collapse into ONE aggregate over the cached state base.
+    deg = edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).cast("double").alias("out_degree")
+    )
+    dsts = edges.select(F.col("dst").alias("vid")).distinct()
+    base_state = (
+        deg.join(dsts, "vid", "full")
+        .select("vid", F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"))
         .persist()
     )
-    present = verts.where(F.col("vid").isin(seed_list)).count()
+    counts = base_state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("vid").isin(seed_list), 1).otherwise(0)).alias("p"),
+    ).collect()[0]
+    present = int(counts["p"] or 0)
     if present < ns:
         raise ValueError(
             f"{ns - present} seed vertex/vertices not present in the edge table "
             f"(teleport mass would silently vanish)"
         )
     if broadcast_state is None:
-        broadcast_state = verts.count() <= BROADCAST_STATE_MAX_VERTICES
+        broadcast_state = counts["n"] <= BROADCAST_STATE_MAX_VERTICES
     # same plan switch as pagerank.py: broadcast plan caches edges by dst
     # (exchange-free message agg); exchange plan caches by src so the
     # per-superstep state join is co-partitioned and only the V-row state
     # + partial message sums ever shuffle (the 10^12-doc regime).
     part_key = "dst" if broadcast_state else "src"
     e = edges.select("src", "dst").repartition(num_partitions, part_key).persist()
-    deg = e.groupBy(F.col("src").alias("vid")).agg(
-        F.count(F.lit(1)).cast("double").alias("out_degree")
-    )
     seed_col = F.when(F.col("vid").isin(seed_list), 1.0 / ns).otherwise(0.0)
-    base_state = verts.join(deg, "vid", "left")
     if init_scores is not None:
         prior = init_scores.select("vid", F.col("score").alias("_prior"))
         seeded = base_state.join(prior, "vid", "left").select(
             "vid",
             F.coalesce("_prior", F.lit(0.0)).alias("score"),
-            F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
+            "out_degree",
         )
         total = seeded.agg(F.sum("score")).collect()[0][0]
         if total and total > 0:
@@ -85,23 +91,21 @@ def personalized_pagerank(
             )
         else:  # empty/zero prior: fall back to the seed vector
             init = base_state.select(
-                "vid",
-                seed_col.alias("score"),
-                F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
+                "vid", seed_col.alias("score"), "out_degree"
             )
     else:
         init = base_state.select(
-            "vid",
-            seed_col.alias("score"),
-            F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
+            "vid", seed_col.alias("score"), "out_degree"
         )
     init = init.repartition(num_partitions, "vid")
 
     def superstep(edges_df: DataFrame, state: DataFrame, i: int) -> DataFrame:
-        dangling = (
-            state.where(F.col("out_degree") == 0.0)
-            .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("s"))
-            .collect()[0]["s"]
+        # dangling mass rides the plan as a broadcast 1-row frame (r6;
+        # same trick as pagerank.py) — one action per superstep
+        dangling = F.broadcast(
+            state.where(F.col("out_degree") == 0.0).agg(
+                F.coalesce(F.sum("score"), F.lit(0.0)).alias("_dangling")
+            )
         )
         active = state.where(F.col("out_degree") > 0.0).select(
             "vid", (F.col("score") / F.col("out_degree")).alias("contrib")
@@ -114,14 +118,16 @@ def personalized_pagerank(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("msum"))
         )
-        teleport = (1.0 - damping) + damping * dangling
+        teleport = F.lit(1.0 - damping) + F.lit(damping) * F.col("_dangling")
         newscore = (
             F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
-            + F.when(F.col("vid").isin(seed_list), teleport / ns).otherwise(0.0)
+            + F.when(
+                F.col("vid").isin(seed_list), teleport / F.lit(float(ns))
+            ).otherwise(0.0)
         ).alias("score")
         return state.hint("merge").join(
             sums, state["vid"] == sums["dst"], "left"
-        ).select("vid", newscore, "out_degree")
+        ).crossJoin(dangling).select("vid", newscore, "out_degree")
 
     def delta(old: DataFrame, new: DataFrame) -> float:
         return pregel.linf_delta(old, new, "vid", "score")
@@ -137,7 +143,7 @@ def personalized_pagerank(
             job_id="ppr",
         )
     finally:
-        verts.unpersist()
+        base_state.unpersist()
         e.unpersist()
     res.state = res.state.select("vid", "score")
     return res

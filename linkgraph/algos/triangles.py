@@ -55,18 +55,29 @@ def _oriented(edges: DataFrame) -> DataFrame:
 
 
 def triangle_list(edges: DataFrame) -> DataFrame:
-    """All triangles as (x, y, z) vid triples (each listed once)."""
-    o = _oriented(edges).select("a", "b", "da", "db").persist()
-    e1 = o.select(F.col("a"), F.col("b").alias("b1"), F.col("db").alias("db1"))
-    e2 = o.select(F.col("a"), F.col("b").alias("b2"), F.col("db").alias("db2"))
-    wedges = e1.join(e2, "a").where(
-        (F.col("db1") < F.col("db2"))
-        | ((F.col("db1") == F.col("db2")) & (F.col("b1") < F.col("b2")))
-    )
-    closing = o.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
-    tris = wedges.join(closing, ["b1", "b2"], "left_semi")
-    return tris.select(
-        F.col("a").alias("x"), F.col("b1").alias("y"), F.col("b2").alias("z")
+    """All triangles as (x, y, z) vid triples (each listed once).
+
+    Edge-iterator ("compact-forward") form: for each oriented edge
+    (a, b), the closing vertices are out(a) ∩ out(b) — an
+    array_intersect of the two endpoints' out-adjacency arrays, joined
+    to the edge list. Each triangle x→y, x→z, y→z surfaces exactly once,
+    at edge (x, y) with z in the intersection — the same (x, y, z)
+    triple the earlier wedge+semi-join produced, but the wedge set
+    (Σ deg² rows, 22M at sf0.1 for 600k edges) never materializes: the
+    whole closure is one codegen stage over |E| rows with O(√E)-bounded
+    arrays (the orientation caps out-degree), and only the V-row
+    adjacency table is built/shuffled besides the edges themselves.
+    """
+    o = _oriented(edges).select("a", "b")
+    adj = o.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
+    adj_a = adj.select(F.col("a"), F.col("nbrs").alias("nbrs_a"))
+    adj_b = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nbrs_b"))
+    # inner joins drop sink endpoints (empty out-adjacency closes nothing)
+    pairs = o.join(adj_a, "a").join(adj_b, "b")
+    return pairs.select(
+        F.col("a").alias("x"),
+        F.col("b").alias("y"),
+        F.explode(F.array_intersect("nbrs_a", "nbrs_b")).alias("z"),
     )
 
 

@@ -60,19 +60,22 @@ def weighted_pagerank(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
     )
-    tot = (
-        e.groupBy("src")
-        .agg(F.sum("w").alias("__W__"))
-        .where(F.col("__W__") > 0)  # zero/null out-weight == dangling
-    )
-    verts = (
-        e.select(F.col("src").alias("vid"))
-        .unionAll(e.select("dst"))
-        .distinct()
+    tot_all = e.groupBy("src").agg(F.sum("w").alias("__W__"))
+    tot = tot_all.where(F.col("__W__") > 0)  # zero/null out-weight == dangling
+    # one-pass setup (r6, as in pagerank.py): (vid, has_out) from the
+    # out-weight aggregate FULL OUTER the distinct dst set — no 2|E|-row
+    # union+distinct pass and no separate has_out join.
+    base_state = (
+        tot_all.select(
+            F.col("src").alias("vid"),
+            F.when(F.col("__W__") > 0, 1.0).otherwise(0.0).alias("__o__"),
+        )
+        .join(e.select(F.col("dst").alias("vid")).distinct(), "vid", "full")
+        .select("vid", F.coalesce("__o__", F.lit(0.0)).alias("has_out"))
         .repartition(num_partitions, "vid")
         .persist()
     )
-    n = verts.count()
+    n = base_state.count()
     if broadcast_state is None:
         broadcast_state = n <= BROADCAST_STATE_MAX_VERTICES
     # plan switch as in pagerank.py: broadcast plan caches the fraction
@@ -90,7 +93,7 @@ def weighted_pagerank(
         from pyspark.sql import types as T
 
         frac.unpersist()
-        verts.unpersist()
+        base_state.unpersist()
         empty = spark.createDataFrame(
             [],
             T.StructType(
@@ -101,14 +104,12 @@ def weighted_pagerank(
             ),
         )
         return pregel.PregelResult(state=empty, iterations=0, converged=True, metrics=[])
-    has_out = tot.select(F.col("src").alias("vid")).distinct()
-    base_state = verts.join(has_out.withColumn("__o__", F.lit(1.0)), "vid", "left")
     if init_scores is not None:
         prior = init_scores.select("vid", F.col("score").alias("_prior"))
         seeded = base_state.join(prior, "vid", "left").select(
             "vid",
             F.coalesce("_prior", F.lit(1.0 / n)).alias("score"),
-            F.coalesce("__o__", F.lit(0.0)).alias("has_out"),
+            "has_out",
         )
         total = seeded.agg(F.sum("score")).collect()[0][0]
         if total and total > 0:
@@ -119,15 +120,11 @@ def weighted_pagerank(
             ).localCheckpoint(eager=True)
         else:  # empty/zero prior: fall back to the uniform init (as ppr does)
             state = base_state.select(
-                "vid",
-                F.lit(1.0 / n).alias("score"),
-                F.coalesce("__o__", F.lit(0.0)).alias("has_out"),
+                "vid", F.lit(1.0 / n).alias("score"), "has_out"
             ).localCheckpoint(eager=True)
     else:
         state = base_state.select(
-            "vid",
-            F.lit(1.0 / n).alias("score"),
-            F.coalesce("__o__", F.lit(0.0)).alias("has_out"),
+            "vid", F.lit(1.0 / n).alias("score"), "has_out"
         ).localCheckpoint(eager=True)
 
     metrics: list[dict] = []
@@ -135,10 +132,12 @@ def weighted_pagerank(
     converged = False
     while it < max_iter:
         t0 = time.monotonic()
-        dangling = (
-            state.where(F.col("has_out") == 0.0)
-            .agg(F.coalesce(F.sum("score"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass rides the plan as a broadcast 1-row frame (r6;
+        # same trick as pagerank.py) — one action per iteration
+        dangling = F.broadcast(
+            state.where(F.col("has_out") == 0.0).agg(
+                F.coalesce(F.sum("score"), F.lit(0.0)).alias("_dangling")
+            )
         )
         active = state.where(F.col("has_out") > 0.0).select("vid", "score")
         if broadcast_state:
@@ -148,14 +147,15 @@ def weighted_pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("score") * F.col("frac")).alias("msum"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        base = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
+        )
         new_state = state.hint("merge").join(
             sums, state["vid"] == sums["dst"], "left"
-        ).select(
+        ).crossJoin(dangling).select(
             "vid",
-            (
-                F.lit(base) + F.lit(damping) * F.coalesce("msum", F.lit(0.0))
-            ).alias("score"),
+            (base + F.lit(damping) * F.coalesce("msum", F.lit(0.0))).alias("score"),
             "has_out",
         ).localCheckpoint(eager=True)
         it += 1
@@ -177,7 +177,7 @@ def weighted_pagerank(
             converged = True
             break
     frac.unpersist()
-    verts.unpersist()
+    base_state.unpersist()
     # fixed-iteration mode (tol=None) reports converged=False, matching
     # run_pregel's semantics so graph_job JSON lines are comparable
     return pregel.PregelResult(

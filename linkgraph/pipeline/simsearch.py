@@ -49,18 +49,32 @@ def brute_force_topk(
 
     queries: (query_id, embedding). Broadcast the queries; per-query
     top-k via window row_number (deterministic tie-break on vec_id).
+
+    Norms are projected ONCE per corpus row and once per query before
+    the cross join (r6) — cosine then costs one dot product per
+    (row, query) instead of three; values are bit-identical
+    (dot / (norm_a * norm_b), same ops, same order).
     """
     from pyspark.sql import Window
 
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            _norm(F.col(vec_col)).alias("qnorm"),
         )
     )
-    scored = corpus.crossJoin(q).select(
-        "query_id",
+    cn = corpus.select(
         F.col(id_col).alias("vec_id"),
-        cosine(F.col(vec_col), F.col("qvec")).alias("score"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    )
+    scored = cn.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))).alias(
+            "score"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
