@@ -163,6 +163,26 @@ def kmeans_refine(
     return cents
 
 
+def _lit_norm(cvec: list[float]) -> float:
+    """Driver-side L2 norm of a literal centroid, replicating _norm's
+    accumulation order exactly (sequential acc + x*x, then sqrt) so the
+    value is bit-identical to evaluating _norm over the literal array."""
+    import math
+
+    s = 0.0
+    for x in cvec:
+        s = s + float(x) * float(x)
+    return math.sqrt(s)
+
+
+def _bind_scalar(scalar: Column, fn) -> Column:
+    """Evaluate ``scalar`` ONCE per row and feed it to ``fn`` as a bound
+    lambda variable (transform over a 1-element array): common-
+    subexpression elimination by construction — projection collapse
+    cannot re-inline the scalar into every use site."""
+    return F.transform(F.array(scalar), fn)[0]
+
+
 def _nearest_centroid(
     vec: Column, centroids: list[tuple[int, list[float]]]
 ) -> Column:
@@ -172,33 +192,51 @@ def _nearest_centroid(
 
     greatest() over (sim, -cent_id) structs = highest cosine, lowest
     cent_id on ties — the same order as ROW_NUMBER(sim DESC, cent_id ASC)
-    in the DuckDB oracle."""
-    structs = [
-        F.struct(
-            cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
-            F.lit(-cid).cast("long").alias("nc"),
-        )
-        for cid, cvec in centroids
-    ]
-    best = F.greatest(*structs) if len(structs) > 1 else structs[0]
-    return (-best["nc"]).alias("list_id")
+    in the DuckDB oracle. The row vector's norm is bound ONCE per row
+    (r6) and the centroid norms are driver-computed literals, so each
+    centroid costs one dot product instead of three; values are
+    bit-identical (same ops, same order)."""
+
+    def best_of(nv: Column) -> Column:
+        structs = [
+            F.struct(
+                (
+                    _dot(vec, F.array(*[F.lit(float(x)) for x in cvec]))
+                    / (nv * F.lit(_lit_norm(cvec)))
+                ).alias("s"),
+                F.lit(-cid).cast("long").alias("nc"),
+            )
+            for cid, cvec in centroids
+        ]
+        best = F.greatest(*structs) if len(structs) > 1 else structs[0]
+        return -best["nc"]
+
+    return _bind_scalar(_norm(vec), best_of).alias("list_id")
 
 
 def _probe_lists(
     vec: Column, centroids: list[tuple[int, list[float]]], n_probe: int
 ) -> Column:
-    """Array of the ``n_probe`` nearest centroid ids — also projection-only."""
-    structs = F.array(
-        *[
-            F.struct(
-                cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
-                F.lit(-cid).cast("long").alias("nc"),
-            )
-            for cid, cvec in centroids
-        ]
-    )
-    top = F.slice(F.sort_array(structs, asc=False), 1, n_probe)
-    return F.transform(top, lambda st: -st["nc"])
+    """Array of the ``n_probe`` nearest centroid ids — also projection-
+    only, with the same once-per-row norm binding as _nearest_centroid."""
+
+    def probes_of(nv: Column) -> Column:
+        structs = F.array(
+            *[
+                F.struct(
+                    (
+                        _dot(vec, F.array(*[F.lit(float(x)) for x in cvec]))
+                        / (nv * F.lit(_lit_norm(cvec)))
+                    ).alias("s"),
+                    F.lit(-cid).cast("long").alias("nc"),
+                )
+                for cid, cvec in centroids
+            ]
+        )
+        top = F.slice(F.sort_array(structs, asc=False), 1, n_probe)
+        return F.transform(top, lambda st: -st["nc"])
+
+    return _bind_scalar(_norm(vec), probes_of)
 
 
 def ivf_topk(
@@ -230,20 +268,27 @@ def ivf_topk(
     if kmeans_iters:
         cents = kmeans_refine(corpus, cents, kmeans_iters, vec_col)
 
+    # norms are projected once per corpus row / query row before the
+    # list join (r6): the verify then costs one dot per candidate pair,
+    # with values bit-identical to cosine() (same ops, same order)
     lists = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
         _nearest_centroid(F.col(vec_col), cents).alias("list_id"),
     )
     qprobes = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
         F.explode(_probe_lists(F.col(vec_col), cents, n_probe)).alias("list_id"),
     )
     scored = lists.join(F.broadcast(qprobes), "list_id").select(
         query_id_col,
         F.col(id_col).alias("vec_id"),
-        cosine(F.col("cv"), F.col("qv")).alias("score"),
+        (_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))).alias(
+            "score"
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
@@ -451,10 +496,24 @@ def cosine_pairs_lsh(
     if anchored is not None:
         cand = cand.unionByName(anchored)
     cand = cand.dropDuplicates(["a", "b"])
-    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    # per-side norms projected once before the verify joins (r6):
+    # one dot per candidate pair, bit-identical values
+    va = corpus.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     scored = cand.join(va, "a").join(vb, "b").select(
-        "a", "b", cosine(F.col("va"), F.col("vb")).alias("score")
+        "a",
+        "b",
+        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "score"
+        ),
     )
     return scored.where(F.col("score") >= threshold)
 
@@ -484,20 +543,28 @@ def lsh_topk(
     if dim is None:
         raise ValueError("lsh_topk requires an explicit embedding dim")
     planes = hyperplanes(dim, n_planes, seed)
+    # norms projected once per side before the bucket join (r6):
+    # one dot per candidate pair, bit-identical values
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
+            _norm(F.col(vec_col)).alias("qn"),
             lsh_bucket(F.col(vec_col), planes).alias("bucket"),
         )
     )
     scored = c.join(q, "bucket").select(
-        "query_id", "vec_id", cosine(F.col("cvec"), F.col("qvec")).alias("score")
+        "query_id",
+        "vec_id",
+        (_dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))).alias(
+            "score"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()

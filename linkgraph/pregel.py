@@ -197,25 +197,36 @@ def run_pregel(
     state = init_state
     if store:
         # input fingerprint: order-insensitive (count, bit_xor of row
-        # hashes) over the edge frame — one cheap columnar agg per RUN
-        # (the frame is cached by every caller). A checkpoint under this
-        # job_id that was produced from a DIFFERENT edge set must not be
-        # resumed: its state is for another graph, and `latest()` could
-        # even out-step the fresh run and shadow it on a later resume —
-        # so a mismatch clears the stale checkpoints before starting.
+        # hashes, sum of row hashes) over the edge frame — one cheap
+        # columnar agg per RUN (the frame is cached by every caller). A
+        # checkpoint under this job_id that was produced from a
+        # DIFFERENT edge set must not be resumed: its state is for
+        # another graph, and `latest()` could even out-step the fresh
+        # run and shadow it on a later resume — so a mismatch clears the
+        # stale checkpoints before starting. The decimal SUM keeps the
+        # fingerprint multiplicity-aware (bit_xor alone cancels
+        # duplicated rows: multisets {a,a,b} and {c,c,b} share count and
+        # xor), and a checkpoint directory with NO stored fingerprint
+        # but existing checkpoints (written pre-fingerprinting, or a
+        # crash between clear() and write_fingerprint) is treated as a
+        # mismatch too — it cannot be validated after the fact.
         fp_row = edges.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64(*edges.columns)).alias("x"),
+            F.sum(F.xxhash64(*edges.columns).cast("decimal(38,0)")).alias("s"),
         ).collect()[0]
-        fingerprint = f"{fp_row['n']}:{fp_row['x']}"
+        fingerprint = f"{fp_row['n']}:{fp_row['x']}:{fp_row['s']}"
         stored = store.read_fingerprint()
-        if stored is not None and stored != fingerprint:
+        if stored != fingerprint and (
+            stored is not None or store.latest() is not None
+        ):
             if resume and store.latest() is not None:
                 import warnings
 
                 warnings.warn(
                     f"checkpoints under job_id={job_id!r} were produced "
-                    "from a different edge set; ignoring and clearing them"
+                    "from a different edge set (or one whose fingerprint "
+                    "is missing); ignoring and clearing them"
                 )
             store.clear()
         store.write_fingerprint(fingerprint)

@@ -98,3 +98,61 @@ def test_resume_rejects_checkpoints_from_different_input(spark, tiny_edges, tmp_
                                  job_id="cc", checkpoint_every=1)
     assert not any("different edge set" in str(x.message) for x in w2)
     assert {r["vid"]: r["component"] for r in c.state.collect()} == expected
+
+
+def test_resume_rejects_unfingerprinted_checkpoints(spark, tiny_edges, tmp_path):
+    """Checkpoints with NO stored fingerprint (written before
+    fingerprinting existed, or left by a crash between clear() and
+    write_fingerprint) cannot be validated after the fact — they must be
+    cleared and the run must start cold, not silently adopted and
+    stamped with the new edge set's fingerprint."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos import connected_components
+
+    ckpt = str(tmp_path / "ck")
+    connected_components(tiny_edges, max_iter=50, checkpoint_dir=ckpt,
+                         job_id="cc", checkpoint_every=1)
+    store = CheckpointStore(ckpt, "cc")
+    assert store.latest() is not None
+    # simulate the pre-fingerprint / crashed state: checkpoints exist,
+    # fingerprint file does not
+    os.remove(os.path.join(ckpt, "cc", CheckpointStore._FP_FILE))
+    other = tiny_edges.select(
+        (F.col("src") + 100).alias("src"), (F.col("dst") + 100).alias("dst")
+    )
+    expected = {
+        r["vid"]: r["component"]
+        for r in connected_components(other, max_iter=50).state.collect()
+    }
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        b = connected_components(other, max_iter=50, checkpoint_dir=ckpt,
+                                 job_id="cc", checkpoint_every=1)
+    assert any("different edge set" in str(x.message) for x in w)
+    assert {r["vid"]: r["component"] for r in b.state.collect()} == expected
+
+
+def test_fingerprint_is_multiplicity_aware(spark):
+    """bit_xor alone cancels duplicated rows (multisets {a,a,b} and
+    {c,c,b} share count and xor); the decimal row-hash SUM in the
+    fingerprint must split such collisions."""
+    from pyspark.sql import functions as F
+
+    def fp(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*df.columns)).alias("x"),
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return f"{row['n']}:{row['x']}:{row['s']}"
+
+    a = spark.createDataFrame([(1, 2), (1, 2), (3, 4)], "src long, dst long")
+    b = spark.createDataFrame([(5, 6), (5, 6), (3, 4)], "src long, dst long")
+    # same count; xor of the duplicated pair cancels in both
+    assert fp(a) != fp(b)
+    # order-insensitive: a permutation fingerprints identically
+    a_perm = spark.createDataFrame([(3, 4), (1, 2), (1, 2)], "src long, dst long")
+    assert fp(a) == fp(a_perm)
