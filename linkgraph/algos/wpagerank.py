@@ -60,18 +60,24 @@ def weighted_pagerank(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
     )
-    tot_all = e.groupBy("src").agg(F.sum("w").alias("__W__"))
-    tot = tot_all.where(F.col("__W__") > 0)  # zero/null out-weight == dangling
-    # one-pass setup (r6, as in pagerank.py): (vid, has_out) from the
-    # out-weight aggregate FULL OUTER the distinct dst set — no 2|E|-row
-    # union+distinct pass and no separate has_out join.
+    tot = e.groupBy("src").agg(F.sum("w").alias("__W__")).where(
+        F.col("__W__") > 0  # zero/null out-weight == dangling
+    )
+    # one-pass setup (r6, as in pagerank.py): (vid, has_out) in a single
+    # aggregation over the unioned endpoints — src rows carry their
+    # weight, dst rows a NULL (contributes nothing to the sum), so
+    # sum(w) per vid is the total out-weight and has_out falls out of
+    # one comparison. No union+distinct pass, no join.
+    endpoints = e.select(F.col("src").alias("vid"), F.col("w")).unionAll(
+        e.select(F.col("dst").alias("vid"), F.lit(None).cast("double").alias("w"))
+    )
     base_state = (
-        tot_all.select(
-            F.col("src").alias("vid"),
-            F.when(F.col("__W__") > 0, 1.0).otherwise(0.0).alias("__o__"),
+        endpoints.groupBy("vid")
+        .agg(F.sum("w").alias("__W__"))
+        .select(
+            "vid",
+            F.when(F.col("__W__") > 0, 1.0).otherwise(0.0).alias("has_out"),
         )
-        .join(e.select(F.col("dst").alias("vid")).distinct(), "vid", "full")
-        .select("vid", F.coalesce("__o__", F.lit(0.0)).alias("has_out"))
         .repartition(num_partitions, "vid")
         .persist()
     )

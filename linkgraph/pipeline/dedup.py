@@ -353,13 +353,23 @@ def hamming_pairs(
     bands: int | None = None,
     max_bucket_size: int | None = None,
     caller: str = "hamming_pairs",
+    materialize: bool | None = None,
 ) -> DataFrame:
     """Generic pigeonhole near-dup join over ANY (id, 64-bit hash)
     frame: band the hash into chunks, equi-join on chunk keys, verify by
     exact popcount. Returns (a, b, hamming) with a < b and hamming ≤
     ``max_hamming``. Backs both text simhash and image dhash — NULL
     hashes (null text, undecodable images) are dropped up front, so
-    they never form a shared-null bucket."""
+    they never form a shared-null bucket.
+
+    ``materialize`` controls whether the verified pair set is eagerly
+    localCheckpoint-ed (which lets the cached (id, hash) frame be
+    released immediately, but pins the pairs in executor memory/disk
+    and is not fault-tolerant). Default ``None`` decides from the input
+    size: materialize up to 10M hashed rows; above that the pair set is
+    only "small" by assumption (a near-dup-heavy corpus can make it
+    huge), so the lazy frame is returned and the (id, hash) cache stays
+    alive until the caller has consumed it."""
     if bands is None:
         bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
     assert max_hamming < bands and 64 % bands == 0, (
@@ -371,7 +381,9 @@ def hamming_pairs(
         .where(F.col("__h__").isNotNull())
         .persist()
     )
-    sims.count()  # materialize: the self-join below reads it twice
+    n_sims = sims.count()  # materialize: the self-join below reads it twice
+    if materialize is None:
+        materialize = n_sims <= 10_000_000
     chunked = sims.select(
         "id",
         "__h__",
@@ -409,16 +421,16 @@ def hamming_pairs(
         cand = cand.unionByName(anchored)
     cand = cand.dropDuplicates(["a", "b"])
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    out = (
-        cand.select("a", "b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
-        # materialize the (small) verified pair set so the cached
-        # (id, hash) frame can be released now instead of leaking for
-        # the session lifetime — text/image/audio call sites each
-        # invoke this once per corpus
-        .localCheckpoint(eager=True)
+    out = cand.select("a", "b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
     )
-    sims.unpersist()
+    if materialize:
+        # materialize the (bounded-by-gate) verified pair set so the
+        # cached (id, hash) frame can be released now instead of
+        # leaking for the session lifetime — text/image/audio call
+        # sites each invoke this once per corpus
+        out = out.localCheckpoint(eager=True)
+        sims.unpersist()
     return out
 
 
