@@ -68,7 +68,11 @@ def triangle_list(edges: DataFrame) -> DataFrame:
     arrays (the orientation caps out-degree), and only the V-row
     adjacency table is built/shuffled besides the edges themselves.
     """
-    o = _oriented(edges).select("a", "b")
+    # persist the oriented frame (as the pre-r6 implementation did): it
+    # feeds BOTH the adjacency aggregate and the edge stream of the
+    # closure join, and repeated calls in one session re-hit the cache
+    # instead of re-running the orientation joins
+    o = _oriented(edges).select("a", "b").persist()
     adj = o.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
     adj_a = adj.select(F.col("a"), F.col("nbrs").alias("nbrs_a"))
     adj_b = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nbrs_b"))

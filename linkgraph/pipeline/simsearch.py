@@ -317,27 +317,49 @@ def pq_codebooks(
     group-means are engine-order-dependent, which would break the
     DuckDB hash gate; the seeded sample keeps both engines bit-equal.
 
-    Returns ``books[j][c] = codeword`` (list of sub-dim floats)."""
+    Returns ``books[j][c] = codeword`` (list of sub-dim floats).
+
+    Single corpus pass (r6): all ``m_subspaces`` affine ranks are
+    emitted per row (an explode of m (j, rank_j, subvector_j) structs —
+    m× the rows but the same bytes, each struct carries only its
+    dim/m-float slice) and the per-subspace top-``n_codes`` resolve in
+    one grouped top-k, whose partial WindowGroupLimit ships at most
+    n_codes rows per subspace per input partition. The previous form
+    ran one TakeOrdered pass over the whole corpus PER subspace; the
+    selected rows — minimal by (rank_j, id) — and hence the codebooks
+    are identical."""
+    from pyspark.sql import Window
+
     from linkgraph.pipeline import phash
 
     dim = len(corpus.select(vec_col).first()[0])
     assert dim % m_subspaces == 0, "dim must divide evenly into subspaces"
     sub = dim // m_subspaces
-    books: list[list[list[float]]] = []
-    for j in range(m_subspaces):
-        (a, b) = phash.seeded_coeffs(1, seed + j)[0]
-        rows = (
-            corpus.select(F.col(id_col), F.col(vec_col))
-            .orderBy(
-                (F.col(id_col).cast("long") * F.lit(a) + F.lit(b)) % F.lit(phash.P),
-                F.col(id_col).asc(),
-            )
-            .limit(n_codes)
-            .collect()
+    coeffs = [phash.seeded_coeffs(1, seed + j)[0] for j in range(m_subspaces)]
+    structs = [
+        F.struct(
+            F.lit(j).alias("j"),
+            (
+                (F.col(id_col).cast("long") * F.lit(a) + F.lit(b)) % F.lit(phash.P)
+            ).alias("rank"),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("subv"),
         )
-        books.append(
-            [[float(x) for x in r[1][j * sub : (j + 1) * sub]] for r in rows]
-        )
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    pairs = corpus.select(
+        F.col(id_col).alias("__id__"), F.explode(F.array(*structs)).alias("s")
+    ).select("__id__", "s.j", "s.rank", "s.subv")
+    w = Window.partitionBy("j").orderBy(
+        F.col("rank").asc(), F.col("__id__").asc()
+    )
+    rows = (
+        pairs.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= n_codes)
+        .collect()
+    )
+    books: list[list[list[float]]] = [[] for _ in range(m_subspaces)]
+    for r in sorted(rows, key=lambda r: (r["j"], r["__rn__"])):
+        books[r["j"]].append([float(x) for x in r["subv"]])
     return books
 
 
