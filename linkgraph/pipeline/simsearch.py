@@ -518,24 +518,15 @@ def cosine_pairs_lsh(
     if anchored is not None:
         cand = cand.unionByName(anchored)
     cand = cand.dropDuplicates(["a", "b"])
-    # per-side norms projected once before the verify joins (r6):
-    # one dot per candidate pair, bit-identical values
-    va = corpus.select(
-        F.col(id_col).alias("a"),
-        F.col(vec_col).alias("va"),
-        _norm(F.col(vec_col)).alias("na"),
-    )
-    vb = corpus.select(
-        F.col(id_col).alias("b"),
-        F.col(vec_col).alias("vb"),
-        _norm(F.col(vec_col)).alias("nb"),
-    )
+    # verify is SELECTIVE (expected pairs per corpus row ≪ 1 for a
+    # diverse corpus), so norms are evaluated per PAIR, after the
+    # candidate join — precomputing them per row below the join would
+    # pay one norm for every corpus row to save three per rare pair
+    # (measured slower at the shipped parameters); values unchanged
+    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     scored = cand.join(va, "a").join(vb, "b").select(
-        "a",
-        "b",
-        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-            "score"
-        ),
+        "a", "b", cosine(F.col("va"), F.col("vb")).alias("score")
     )
     return scored.where(F.col("score") >= threshold)
 
@@ -565,12 +556,15 @@ def lsh_topk(
     if dim is None:
         raise ValueError("lsh_topk requires an explicit embedding dim")
     planes = hyperplanes(dim, n_planes, seed)
-    # norms projected once per side before the bucket join (r6):
-    # one dot per candidate pair, bit-identical values
+    # query-side norms are precomputed (tiny broadcast side — free
+    # win); the corpus-side norm is evaluated per PAIR because the
+    # bucket join is selective (expected matches per corpus row =
+    # |queries| / 2^n_planes, usually ≪ 1): precomputing it per row
+    # below the join would cost one norm per corpus row to save one
+    # per rare candidate. Values bit-identical either way.
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col)).alias("cn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     q = F.broadcast(
@@ -584,9 +578,10 @@ def lsh_topk(
     scored = c.join(q, "bucket").select(
         "query_id",
         "vec_id",
-        (_dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))).alias(
-            "score"
-        ),
+        (
+            _dot(F.col("cvec"), F.col("qvec"))
+            / (_norm(F.col("cvec")) * F.col("qn"))
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
