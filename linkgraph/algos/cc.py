@@ -17,7 +17,7 @@ Two modes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph import pregel
@@ -174,6 +174,15 @@ def connected_components(
         init = verts.select("vid", F.col("vid").alias("component"))
     init = init.repartition(num_partitions, "vid")
 
+    # hash-min labels only ever decrease, so "changed" is decidable
+    # inside the superstep itself: carry it as a flag column and collect
+    # its sum as an OBSERVED metric of the superstep plan — the
+    # convergence delta is then harvested from the localCheckpoint
+    # materialization itself, zero extra jobs per superstep (r6; the
+    # intermediate form ran a filter+count job over the materialized
+    # state, still one job per superstep).
+    pending_obs: list[Observation] = []
+
     def superstep(edges_df: DataFrame, state: DataFrame, i: int) -> DataFrame:
         s = F.broadcast(state) if broadcast_state else state
         msgs = (
@@ -181,12 +190,7 @@ def connected_components(
             .groupBy(F.col("dst").alias("mvid"))
             .agg(F.min("component").alias("mmin"))
         )
-        # hash-min labels only ever decrease, so "changed" is decidable
-        # inside the superstep itself: carry it as a flag column and the
-        # convergence delta becomes a filter+count over the already-
-        # materialized state instead of an old⋈new join (one cheap job,
-        # no sort, per superstep — r6).
-        return state.hint("merge").join(
+        new = state.hint("merge").join(
             msgs, state["vid"] == msgs["mvid"], "left"
         ).select(
             "vid",
@@ -195,11 +199,16 @@ def connected_components(
             ).alias("component"),
             (F.col("mmin") < F.col("component")).alias("_ch"),
         )
+        obs = Observation()
+        pending_obs.append(obs)
+        return new.observe(obs, F.sum(F.col("_ch").cast("long")).alias("changed"))
 
     def delta(old: DataFrame, new: DataFrame) -> float:
         # equivalent to changed_count(old, new): least() only decreases,
-        # so new != old  ⟺  mmin < old.component  ⟺  _ch
-        return float(new.where(F.col("_ch")).count())
+        # so new != old  ⟺  mmin < old.component  ⟺  _ch. The metric was
+        # collected during the superstep's own materialization.
+        obs = pending_obs.pop()
+        return float(obs.get["changed"] or 0)
 
     try:
         res = pregel.run_pregel(

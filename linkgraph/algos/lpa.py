@@ -16,7 +16,7 @@ Spark's partial aggregation + AQE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from linkgraph import pregel
@@ -65,6 +65,10 @@ def label_propagation(
     broadcast_state = verts.count() <= 20_000_000
     init = verts.select("vid", F.col("vid").alias("label"))
 
+    # changed-count collected as an observed metric of the superstep
+    # plan itself (r6, as in cc.py): the delta costs zero extra jobs.
+    pending_obs: list[Observation] = []
+
     def superstep(edges_df: DataFrame, state: DataFrame, i: int) -> DataFrame:
         s = F.broadcast(state) if broadcast_state else state
         counts = (
@@ -77,21 +81,25 @@ def label_propagation(
             F.min(F.struct((-F.col("cnt")).alias("negcnt"), F.col("nlabel").alias("lab")))
             .alias("b")
         ).select("mvid", F.col("b.lab").alias("newlabel"))
-        # carry the changed flag in the state so the convergence delta is
-        # a filter+count over the materialized frame, not an old⋈new
-        # join (r6; same trick as cc.py — isolated vertices keep their
-        # label, so "changed" ⟺ a non-null newlabel differs).
-        return state.join(best, state["vid"] == best["mvid"], "left").select(
+        # carry the changed flag in the state (isolated vertices keep
+        # their label, so "changed" ⟺ a non-null newlabel differs) and
+        # observe its sum on the superstep plan.
+        new = state.join(best, state["vid"] == best["mvid"], "left").select(
             "vid",
             F.coalesce(F.col("newlabel"), F.col("label")).alias("label"),
             (F.col("newlabel") != F.col("label")).alias("_ch"),
         )
+        obs = Observation()
+        pending_obs.append(obs)
+        return new.observe(obs, F.sum(F.col("_ch").cast("long")).alias("changed"))
 
     def delta(old: DataFrame, new: DataFrame) -> float:
         # equivalent to changed_count(old, new): label changed ⟺ the
-        # adopted newlabel was non-null and differed (null ⇒ _ch null,
-        # dropped by the filter)
-        return float(new.where(F.col("_ch")).count())
+        # adopted newlabel was non-null and differed (null ⇒ excluded
+        # from the sum). Collected during the superstep's own
+        # materialization — no extra job.
+        obs = pending_obs.pop()
+        return float(obs.get["changed"] or 0)
 
     try:
         res = pregel.run_pregel(
