@@ -135,9 +135,15 @@ def connected_components(
     # build the (cached) undirected frame FIRST and derive the vertex
     # set from it (r6): the old order ran _undirected twice — once
     # uncached for verts, once for the loop cache — paying an extra
-    # 2|E|-row pass before the first superstep. broadcast_state defaults
-    # resolve from the vertex count of the cached frame.
-    und = _undirected(edges).repartition(num_partitions, "dst").persist()
+    # 2|E|-row pass before the first superstep. The cache is built
+    # optimistically partitioned by dst (the broadcast plan, which
+    # covers everything up to BROADCAST_STATE_MAX_VERTICES); when the
+    # vertex count lands above that, the src-keyed cache the exchange
+    # plan wants is RESHUFFLED FROM the dst cache (one cache-to-cache
+    # exchange) rather than rebuilt from the raw edges — setup-only
+    # cost, amortized by the loop's per-superstep savings.
+    part_key = "dst" if broadcast_state in (None, True) else "src"
+    und = _undirected(edges).repartition(num_partitions, part_key).persist()
     if vertices is None:
         verts = und.select(F.col("src").alias("vid")).distinct()
     else:
@@ -146,10 +152,12 @@ def connected_components(
     n = verts.count()
     if broadcast_state is None:
         broadcast_state = n <= BROADCAST_STATE_MAX_VERTICES
-    if not broadcast_state:
-        # exchange plan wants the cache partitioned on the join key
+    if not broadcast_state and part_key == "dst":
+        # auto-detected huge graph: re-key the existing cache to src
+        resrc = und.repartition(num_partitions, "src").persist()
+        resrc.count()
         und.unpersist()
-        und = _undirected(edges).repartition(num_partitions, "src").persist()
+        und = resrc
     if init_labels is not None:
         # additivity already established above (prior_edges subset
         # check or caller's assume_additive certificate).  One residual

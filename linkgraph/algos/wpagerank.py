@@ -60,21 +60,24 @@ def weighted_pagerank(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
     )
-    tot = e.groupBy("src").agg(F.sum("w").alias("__W__")).where(
-        F.col("__W__") > 0  # zero/null out-weight == dangling
-    )
-    # one-pass setup (r6, as in pagerank.py): (vid, has_out) in a single
-    # aggregation over the unioned endpoints — src rows carry their
-    # weight, dst rows a NULL (contributes nothing to the sum), so
-    # sum(w) per vid is the total out-weight and has_out falls out of
-    # one comparison. No union+distinct pass, no join.
+    # one-pass setup (r6, as in pagerank.py): per-vid total out-weight
+    # in a single aggregation over the unioned endpoints — src rows
+    # carry their weight, dst rows a NULL (contributes nothing to the
+    # sum). No union+distinct pass, no join. CRITICAL: has_out and the
+    # normalization total `tot` both derive from THIS one cached
+    # aggregate — computing them as two independent float sums could
+    # disagree at the `> 0` boundary on mixed-sign weights (different
+    # summation orders), classifying a vertex active while giving it no
+    # frac rows, silently losing rank mass.
     endpoints = e.select(F.col("src").alias("vid"), F.col("w")).unionAll(
         e.select(F.col("dst").alias("vid"), F.lit(None).cast("double").alias("w"))
     )
+    wsum = endpoints.groupBy("vid").agg(F.sum("w").alias("__W__")).persist()
+    tot = wsum.where(F.col("__W__") > 0).select(
+        F.col("vid").alias("src"), "__W__"
+    )  # zero/null out-weight == dangling
     base_state = (
-        endpoints.groupBy("vid")
-        .agg(F.sum("w").alias("__W__"))
-        .select(
+        wsum.select(
             "vid",
             F.when(F.col("__W__") > 0, 1.0).otherwise(0.0).alias("has_out"),
         )
@@ -99,6 +102,7 @@ def weighted_pagerank(
         from pyspark.sql import types as T
 
         frac.unpersist()
+        wsum.unpersist()
         base_state.unpersist()
         empty = spark.createDataFrame(
             [],
@@ -183,6 +187,7 @@ def weighted_pagerank(
             converged = True
             break
     frac.unpersist()
+    wsum.unpersist()
     base_state.unpersist()
     # fixed-iteration mode (tol=None) reports converged=False, matching
     # run_pregel's semantics so graph_job JSON lines are comparable

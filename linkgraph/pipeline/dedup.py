@@ -368,8 +368,10 @@ def hamming_pairs(
     and is not fault-tolerant). Default ``None`` decides from the input
     size: materialize up to 10M hashed rows; above that the pair set is
     only "small" by assumption (a near-dup-heavy corpus can make it
-    huge), so the lazy frame is returned and the (id, hash) cache stays
-    alive until the caller has consumed it."""
+    huge), so the LAZY frame is returned and the (id, hash) cache is
+    released immediately too — each action on the result recomputes the
+    hash branches from lineage (fault-tolerant, nothing pinned; callers
+    that run several actions should persist the result themselves)."""
     if bands is None:
         bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
     assert max_hamming < bands and 64 % bands == 0, (
@@ -430,7 +432,10 @@ def hamming_pairs(
         # leaking for the session lifetime — text/image/audio call
         # sites each invoke this once per corpus
         out = out.localCheckpoint(eager=True)
-        sims.unpersist()
+    # both paths release the cache: the lazy path recomputes the two
+    # hash-branch reads from lineage per action instead of pinning
+    # |corpus| hashed rows in executor storage with no release handle
+    sims.unpersist()
     return out
 
 

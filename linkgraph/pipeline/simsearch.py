@@ -268,13 +268,15 @@ def ivf_topk(
     if kmeans_iters:
         cents = kmeans_refine(corpus, cents, kmeans_iters, vec_col)
 
-    # norms are projected once per corpus row / query row before the
-    # list join (r6): the verify then costs one dot per candidate pair,
-    # with values bit-identical to cosine() (same ops, same order)
+    # query-side norms are precomputed (tiny broadcast side); the
+    # corpus-side norm is evaluated per candidate PAIR — expected
+    # candidates per corpus row is |queries|·n_probe/n_centroids (≈1 at
+    # the shipped parameters, 0 for rows in unprobed lists), so a
+    # per-row precompute would also double up with the norm already
+    # bound inside the centroid assignment. Values bit-identical.
     lists = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
         _nearest_centroid(F.col(vec_col), cents).alias("list_id"),
     )
     qprobes = queries.select(
@@ -286,9 +288,9 @@ def ivf_topk(
     scored = lists.join(F.broadcast(qprobes), "list_id").select(
         query_id_col,
         F.col(id_col).alias("vec_id"),
-        (_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))).alias(
-            "score"
-        ),
+        (
+            _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * F.col("qn"))
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col("vec_id").asc()

@@ -161,7 +161,12 @@ def linf_delta(old: DataFrame, new: DataFrame, key: str, value: str) -> float:
 
 
 def changed_count(old: DataFrame, new: DataFrame, key: str, value: str) -> float:
-    """Number of vertices whose value changed — CC/LPA convergence."""
+    """Number of vertices whose value changed — the generic (join-based)
+    convergence delta. cc.py/lpa.py no longer use it on their hot paths
+    (they collect an equivalent flag-sum as an observed metric of the
+    superstep plan — zero extra jobs); kept as the documented fallback
+    for algorithms whose "changed" predicate cannot be computed inside
+    the superstep itself."""
     j = new.alias("n").join(old.alias("o"), key)
     return float(
         j.where(F.col(f"n.{value}") != F.col(f"o.{value}")).count()
@@ -185,9 +190,18 @@ def run_pregel(
 
     ``superstep_fn(edges, state, i) -> new_state`` must be a pure
     DataFrame transform (join + agg + update). ``delta_fn(old, new)``
-    is the one action per superstep that decides convergence; pass
-    ``None`` for fixed-iteration runs to skip that action entirely
-    (one less job per superstep — the benchmark mode).
+    decides convergence; pass ``None`` for fixed-iteration runs to skip
+    it entirely (the benchmark mode).
+
+    CALL PROTOCOL (load-bearing for observed-metric deltas — cc.py and
+    lpa.py attach a pyspark ``Observation`` to each superstep's frame
+    and pop it in their delta_fn): per iteration this loop calls
+    ``superstep_fn`` exactly once, eagerly materializes its result via
+    ``localCheckpoint(eager=True)`` (which fires CollectMetrics), and
+    THEN calls ``delta_fn`` exactly once. Superstep results are never
+    discarded, retried, or evaluated lazily; any change to that
+    one-superstep/one-materialization/one-delta alternation must audit
+    the Observation-based delta implementations.
     """
     spark = edges.sparkSession
     store = CheckpointStore(checkpoint_dir, job_id) if checkpoint_dir else None
@@ -209,7 +223,11 @@ def run_pregel(
         # xor), and a checkpoint directory with NO stored fingerprint
         # but existing checkpoints (written pre-fingerprinting, or a
         # crash between clear() and write_fingerprint) is treated as a
-        # mismatch too — it cannot be validated after the fact.
+        # mismatch too — it cannot be validated after the fact. A
+        # format upgrade (e.g. the r6 two-field -> three-field change)
+        # also mismatches and clears: deliberately safe-by-default —
+        # old checkpoints would only be resumable under the weaker
+        # validation the upgrade exists to replace.
         fp_row = edges.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64(*edges.columns)).alias("x"),
